@@ -1,0 +1,97 @@
+"""Projection primitives: unproject depth maps, project point clouds.
+
+Ports of reference utils/projections.py:59-86 plus the in-line projection
+pattern repeated through utils/feature_fusion.py:95-121, as batched jnp
+functions. All functions take/return fixed-shape arrays and are safe under
+jit/vmap (no boolean indexing).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def depth_to_pointcloud(depth: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Unproject a (H, W) depth map to an (H*W, 3) camera-frame cloud
+    (reference utils/projections.py:67-86: meshgrid unprojection).
+
+    Invalid (<=0) depths produce points at the origin; callers should mask
+    with ``depth.reshape(-1) > 0``.
+    """
+    h, w = depth.shape
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    u = jnp.arange(w, dtype=depth.dtype)[None, :]
+    v = jnp.arange(h, dtype=depth.dtype)[:, None]
+    z = depth
+    x = (u - cx) * z / fx
+    y = (v - cy) * z / fy
+    pts = jnp.stack([x, jnp.broadcast_to(y, z.shape), z], axis=-1)
+    return pts.reshape(-1, 3)
+
+
+def pointcloud_to_pixel(points_camera: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Project camera-frame points to continuous pixel coords (N, 2) = (u, v)
+    (reference utils/projections.py:59-64)."""
+    uvw = jnp.einsum("ij,nj->ni", K, points_camera)
+    z = uvw[:, 2]
+    safe_z = jnp.where(z == 0, 1.0, z)
+    uv = uvw[:, :2] / safe_z[:, None]
+    return jnp.where((z == 0)[:, None], 0.0, uv)
+
+
+def project_points(
+    points_camera: jnp.ndarray,
+    K: jnp.ndarray,
+    width: int,
+    height: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project camera-frame points to integer pixels with an in-bounds mask.
+
+    Replicates the reference's projection block (utils/feature_fusion.py:
+    90-112): int truncation of u/v (assignment into an int array), zero for
+    z==0 points, and the bounds test 0 <= u < W, 0 <= v < H.
+
+    Returns:
+      uv: (N, 2) int32 pixel coords (u=x, v=y), 0 where z==0.
+      point_depth: (N,) the z coordinate (depth along camera axis).
+      inside: (N,) bool in-bounds mask (excludes z==0 via uv=0? no — matches
+        reference: z==0 points get uv=(0,0) which is in bounds; the depth
+        test downstream rejects them).
+    """
+    uvw = jnp.einsum("ij,nj->ni", K, points_camera)
+    z = uvw[:, 2]
+    safe_z = jnp.where(z == 0, 1.0, z)
+    uv_f = uvw[:, :2] / safe_z[:, None]
+    uv_f = jnp.where((z == 0)[:, None], 0.0, uv_f)
+    # np float->int assignment truncates toward zero; match exactly.
+    uv = jnp.trunc(uv_f).astype(jnp.int32)
+    inside = ((uv[:, 0] >= 0) & (uv[:, 1] >= 0)
+              & (uv[:, 0] < width) & (uv[:, 1] < height))
+    return uv, z, inside
+
+
+def reconstruct_feature_map(feat: jnp.ndarray, image_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbor upsample of a (ph, pw, C) patch feature map to
+    (H, W, C) via integer-grid indexing (reference utils/transforms.py:149-164)."""
+    H, W = image_hw
+    ph, pw, _ = feat.shape
+    ys = (jnp.arange(H, dtype=jnp.float32) * (ph / H)).astype(jnp.int32)
+    xs = (jnp.arange(W, dtype=jnp.float32) * (pw / W)).astype(jnp.int32)
+    return feat[ys[:, None], xs[None, :]]
+
+
+def bicubic_upsample(feat: jnp.ndarray, image_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic upsample of a (ph, pw, C) patch feature map to (H, W, C).
+
+    Matches torch ``F.interpolate(..., mode='bicubic', align_corners=False)``
+    used to upsample 2D teacher feature maps before splatting (reference
+    utils/feature_fusion.py:167-172). jax.image.resize('cubic') implements
+    the same Keys cubic kernel with half-pixel sampling.
+    """
+    H, W = image_hw
+    import jax
+
+    return jax.image.resize(feat, (H, W, feat.shape[-1]), method="cubic")
