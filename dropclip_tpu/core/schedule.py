@@ -12,6 +12,8 @@ from __future__ import annotations
 import math
 from typing import Callable
 
+import jax.numpy as jnp
+
 
 def cosine_annealing_warm_restarts(
     base_lr: float,
@@ -22,24 +24,28 @@ def cosine_annealing_warm_restarts(
     """Return ``lr(t)`` for fractional epoch ``t`` (SGDR, Loshchilov & Hutter).
 
     Matches torch.optim.lr_scheduler.CosineAnnealingWarmRestarts stepped
-    with fractional epochs.
+    with fractional epochs. Implemented in jnp so it is traceable inside an
+    optax update (``t`` may be a traced step count).
     """
     if t_0 <= 0:
         raise ValueError(f"t_0 must be positive, got {t_0}")
     if t_mult < 1:
         raise ValueError(f"t_mult must be >= 1, got {t_mult}")
 
-    def lr_at(t: float) -> float:
+    def lr_at(t):
+        t = jnp.asarray(t, jnp.float32)
         if t_mult == 1:
-            t_cur = math.fmod(t, t_0)
-            t_i = t_0
+            t_cur = jnp.mod(t, t_0)
+            t_i = jnp.asarray(t_0, jnp.float32)
         else:
-            # Find the restart period containing t.
-            n = int(math.log(t / t_0 * (t_mult - 1) + 1, t_mult)) if t > 0 else 0
+            n = jnp.where(
+                t > 0,
+                jnp.floor(jnp.log(t / t_0 * (t_mult - 1) + 1) / math.log(t_mult)),
+                0.0)
             t_start = t_0 * (t_mult**n - 1) / (t_mult - 1)
             t_i = t_0 * t_mult**n
             t_cur = t - t_start
-        return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * t_cur / t_i)) / 2
+        return eta_min + (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * t_cur / t_i)) / 2
 
     return lr_at
 

@@ -1,0 +1,130 @@
+"""Train / eval steps as single XLA programs over the device mesh.
+
+The reference's hot loop (engine/distil.py:99-230) is: H2D copy, build an
+ME sparse tensor, UNet forward under AMP, cosine loss (+ optional aux
+hinge / cls-head CE), scaled backward with DDP all-reduce, grad clip,
+per-iteration cosine LR step. Here the whole iteration — topology build,
+forward, loss, grads, optimizer — is ONE jit program; with the batch
+sharded on the mesh's data axis, XLA inserts the gradient/batch-norm
+all-reduces over ICI (replacing NCCL DDP + SyncBN).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse.topology import build_unet_topology
+from .loss import (aux_hinge_loss, cosine_distil_loss, cross_entropy_cls_loss,
+                   l1_distil_loss)
+from .train_state import DistilTrainState
+
+
+class DistilBatch(NamedTuple):
+    """One padded device batch.
+
+    coords: (B, M, 3) int32 voxel coords; mask: (B, M) occupancy.
+    in_feats: (B, M, Cin) xyz(+rgb) inputs; targets: (B, M, F) fused teacher
+    features; labels: (B, M) instance ids; labels_cls: (B, M) class ids.
+    """
+
+    coords: jnp.ndarray
+    mask: jnp.ndarray
+    in_feats: jnp.ndarray
+    targets: jnp.ndarray
+    labels: jnp.ndarray
+    labels_cls: jnp.ndarray
+
+
+def _compute_losses(model_out, batch: DistilBatch, cfg) -> Tuple[jnp.ndarray, Dict]:
+    use_cls = bool(cfg.use_cls_head)
+    out = model_out[0] if use_cls else model_out
+
+    loss_type = cfg.loss_type or "cosine"
+    if loss_type == "cosine":
+        dloss = cosine_distil_loss(out, batch.targets, batch.mask)
+    elif loss_type == "l1":
+        dloss = l1_distil_loss(out, batch.targets, batch.mask)
+    else:
+        raise NotImplementedError(loss_type)
+
+    loss = dloss
+    metrics = {"distil_loss": dloss}
+
+    if cfg.use_aux_loss:
+        max_labels = int(cfg.max_objects or 32)
+        pos, mar = aux_hinge_loss(out, batch.labels, batch.mask, max_labels)
+        # baseline hinge from the targets, stop-gradient (reference
+        # engine/distil.py:176-182: aux = pos + clip(margin - margin_base, 0))
+        _, mar_base = aux_hinge_loss(jax.lax.stop_gradient(batch.targets),
+                                     batch.labels, batch.mask, max_labels)
+        aux = (pos + jnp.clip(mar - jax.lax.stop_gradient(mar_base), 0.0))
+        aux = aux * float(cfg.loss_weight_aux or 1.0)
+        loss = loss + aux
+        metrics["aux_loss"] = aux
+    elif use_cls:
+        logits = model_out[1]
+        xloss = cross_entropy_cls_loss(logits, batch.labels_cls, batch.mask,
+                                       ignore_label=int(cfg.ignore_label or 255))
+        xloss = xloss * float(cfg.loss_weight_cls or 1.0)
+        loss = loss + xloss
+        metrics["aux_loss"] = xloss
+
+    metrics["total_loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(cfg):
+    """Returns train_step(state, batch, dropout_rng) -> (state, metrics).
+
+    jit-compatible; shard ``batch`` on the data axis for multi-chip DP.
+    """
+    num_levels = int(cfg.num_levels or 5)
+
+    def train_step(state: DistilTrainState, batch: DistilBatch,
+                   dropout_rng: Optional[jax.Array] = None):
+        topo = build_unet_topology(batch.coords, batch.mask,
+                                   num_levels=num_levels)
+
+        def loss_fn(params):
+            rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                topo, batch.in_feats, train=True,
+                mutable=["batch_stats"], rngs=rngs)
+            loss, metrics = _compute_losses(out, batch, cfg)
+            return loss, (metrics, updates["batch_stats"])
+
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg):
+    """Returns eval_step(state, batch) -> (out_features, metrics)."""
+    num_levels = int(cfg.num_levels or 5)
+
+    def eval_step(state: DistilTrainState, batch: DistilBatch):
+        topo = build_unet_topology(batch.coords, batch.mask,
+                                   num_levels=num_levels)
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            topo, batch.in_feats, train=False)
+        if cfg.use_cls_head:
+            out = out[0]
+        dloss = cosine_distil_loss(out, batch.targets, batch.mask)
+        return out, {"distil_loss": dloss}
+
+    return eval_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
