@@ -1,0 +1,153 @@
+"""Torch CLIP checkpoint -> flax params conversion.
+
+Supports the two public weight layouts:
+
+- **OpenAI** (the JIT checkpoints the reference downloads, reference
+  models/features/clip/clip.py:98-203 / build_model model.py:469-506):
+  fused ``attn.in_proj_weight`` per block, ``visual.transformer.resblocks.*``
+  naming, fp16 tensors (cast to f32 here; runtime dtype is a policy).
+- **HuggingFace** ``CLIPModel`` state dicts: split q/k/v projections,
+  ``vision_model.encoder.layers.*`` naming.
+
+All torch ``nn.Linear`` weights are (out, in) and flax kernels are
+(in, out) -> transpose; conv kernels (out, in, kh, kw) -> (kh, kw, in, out).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _linear(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"kernel": _np(sd[f"{prefix}.weight"]).T,
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _ln(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _openai_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    w = _np(sd[f"{prefix}.attn.in_proj_weight"])  # (3d, d)
+    b = _np(sd[f"{prefix}.attn.in_proj_bias"])
+    d = w.shape[1]
+    qw, kw, vw = w[:d], w[d:2 * d], w[2 * d:]
+    qb, kb, vb = b[:d], b[d:2 * d], b[2 * d:]
+    return {
+        "ln_1": _ln(sd, f"{prefix}.ln_1"),
+        "ln_2": _ln(sd, f"{prefix}.ln_2"),
+        "attn": {
+            "q_proj": {"kernel": qw.T, "bias": qb},
+            "k_proj": {"kernel": kw.T, "bias": kb},
+            "v_proj": {"kernel": vw.T, "bias": vb},
+            "out_proj": _linear(sd, f"{prefix}.attn.out_proj"),
+        },
+        "c_fc": _linear(sd, f"{prefix}.mlp.c_fc"),
+        "c_proj": _linear(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def from_openai_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """OpenAI CLIP state_dict -> params for teachers.clip.CLIP."""
+    n_vis = max(int(k.split(".")[3]) for k in sd
+                if k.startswith("visual.transformer.resblocks.")) + 1
+    n_txt = max(int(k.split(".")[2]) for k in sd
+                if k.startswith("transformer.resblocks.")) + 1
+
+    visual: Dict[str, Any] = {
+        "conv1": {"kernel": _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
+        "class_embedding": _np(sd["visual.class_embedding"]),
+        "positional_embedding": _np(sd["visual.positional_embedding"]),
+        "ln_pre": _ln(sd, "visual.ln_pre"),
+        "ln_post": _ln(sd, "visual.ln_post"),
+        "proj": _np(sd["visual.proj"]),
+    }
+    for i in range(n_vis):
+        visual[f"block_{i}"] = _openai_block(sd, f"visual.transformer.resblocks.{i}")
+
+    text: Dict[str, Any] = {
+        "token_embedding": {"embedding": _np(sd["token_embedding.weight"])},
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": _np(sd["text_projection"]),
+    }
+    for i in range(n_txt):
+        text[f"block_{i}"] = _openai_block(sd, f"transformer.resblocks.{i}")
+
+    return {"visual": visual, "text": text,
+            "logit_scale": _np(sd["logit_scale"])}
+
+
+def _hf_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {
+        "ln_1": _ln(sd, f"{prefix}.layer_norm1"),
+        "ln_2": _ln(sd, f"{prefix}.layer_norm2"),
+        "attn": {
+            "q_proj": _linear(sd, f"{prefix}.self_attn.q_proj"),
+            "k_proj": _linear(sd, f"{prefix}.self_attn.k_proj"),
+            "v_proj": _linear(sd, f"{prefix}.self_attn.v_proj"),
+            "out_proj": _linear(sd, f"{prefix}.self_attn.out_proj"),
+        },
+        "c_fc": _linear(sd, f"{prefix}.mlp.fc1"),
+        "c_proj": _linear(sd, f"{prefix}.mlp.fc2"),
+    }
+
+
+def from_hf_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HuggingFace ``CLIPModel.state_dict()`` -> params for teachers.clip.CLIP."""
+    n_vis = max(int(k.split(".")[3]) for k in sd
+                if k.startswith("vision_model.encoder.layers.")) + 1
+    n_txt = max(int(k.split(".")[3]) for k in sd
+                if k.startswith("text_model.encoder.layers.")) + 1
+
+    visual: Dict[str, Any] = {
+        "conv1": {"kernel": _np(sd["vision_model.embeddings.patch_embedding.weight"]
+                                ).transpose(2, 3, 1, 0)},
+        "class_embedding": _np(sd["vision_model.embeddings.class_embedding"]).reshape(-1),
+        "positional_embedding": _np(
+            sd["vision_model.embeddings.position_embedding.weight"]),
+        # (sic) "pre_layrnorm" is HF's spelling
+        "ln_pre": _ln(sd, "vision_model.pre_layrnorm"),
+        "ln_post": _ln(sd, "vision_model.post_layernorm"),
+        "proj": _np(sd["visual_projection.weight"]).T,
+    }
+    for i in range(n_vis):
+        visual[f"block_{i}"] = _hf_block(sd, f"vision_model.encoder.layers.{i}")
+
+    text: Dict[str, Any] = {
+        "token_embedding": {"embedding": _np(
+            sd["text_model.embeddings.token_embedding.weight"])},
+        "positional_embedding": _np(
+            sd["text_model.embeddings.position_embedding.weight"]),
+        "ln_final": _ln(sd, "text_model.final_layer_norm"),
+        "text_projection": _np(sd["text_projection.weight"]).T,
+    }
+    for i in range(n_txt):
+        text[f"block_{i}"] = _hf_block(sd, f"text_model.encoder.layers.{i}")
+
+    return {"visual": visual, "text": text,
+            "logit_scale": _np(sd["logit_scale"]).reshape(())}
+
+
+def load_params(path: str) -> Dict[str, Any]:
+    """Load a torch checkpoint file (.pt/.pth, either layout) -> flax params.
+
+    Handles the OpenAI JIT archives (reference clip.py:98-203 loads them via
+    torch.jit; their ``state_dict()`` is the plain layout handled here).
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    if any(k.startswith("vision_model.") for k in sd):
+        return from_hf_state_dict(sd)
+    return from_openai_state_dict(sd)

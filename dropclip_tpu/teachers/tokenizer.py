@@ -1,0 +1,145 @@
+"""CLIP BPE tokenizer — standard OpenAI byte-level BPE, pure Python.
+
+Behavioral parity with the reference's vendored tokenizer
+(reference models/features/clip/simple_tokenizer.py:68-138 and
+clip.py:206-247 ``tokenize``). The merges table
+(assets/bpe_simple_vocab_16e6.txt.gz) is OpenAI's public released vocab —
+a data asset, identical across every CLIP distribution.
+
+One deliberate deviation: the reference pipes text through ``ftfy`` to fix
+mojibake before cleaning; ftfy isn't available here and every prompt this
+framework generates is clean ASCII, so cleaning is html-unescape +
+whitespace collapse only.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import os
+from typing import Dict, List, Sequence, Tuple, Union
+
+import numpy as np
+import regex as re
+
+VOCAB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "assets", "bpe_simple_vocab_16e6.txt.gz")
+CONTEXT_LENGTH = 77
+SOT_TOKEN = "<|startoftext|>"
+EOT_TOKEN = "<|endoftext|>"
+
+_WORD_RE = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+    r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+    re.IGNORECASE)
+
+
+@functools.lru_cache()
+def _byte_unicode_table() -> Dict[int, str]:
+    """GPT-2's reversible byte <-> printable-unicode mapping."""
+    printable = (list(range(ord("!"), ord("~") + 1))
+                 + list(range(ord("\xa1"), ord("\xac") + 1))
+                 + list(range(ord("\xae"), ord("\xff") + 1)))
+    chars = printable[:]
+    extra = 0
+    for b in range(256):
+        if b not in printable:
+            printable.append(b)
+            chars.append(256 + extra)
+            extra += 1
+    return dict(zip(printable, (chr(c) for c in chars)))
+
+
+class ClipTokenizer:
+    """encode(str) -> List[int]; decode(List[int]) -> str."""
+
+    def __init__(self, vocab_path: str = VOCAB_PATH):
+        self.byte_encoder = _byte_unicode_table()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        with gzip.open(vocab_path, "rt", encoding="utf-8") as f:
+            merge_lines = f.read().split("\n")
+        # header line + the first 49152-256-2+1 merges (OpenAI's slice)
+        merge_lines = merge_lines[1: 49152 - 256 - 2 + 1]
+        merges: List[Tuple[str, str]] = [tuple(m.split()) for m in merge_lines]
+
+        alphabet = list(self.byte_encoder.values())
+        vocab = alphabet + [c + "</w>" for c in alphabet]
+        vocab.extend("".join(m) for m in merges)
+        vocab.extend([SOT_TOKEN, EOT_TOKEN])
+        self.encoder: Dict[str, int] = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.rank: Dict[Tuple[str, str], int] = {m: i for i, m in enumerate(merges)}
+        self.sot = self.encoder[SOT_TOKEN]
+        self.eot = self.encoder[EOT_TOKEN]
+        self._cache: Dict[str, List[str]] = {
+            SOT_TOKEN: [SOT_TOKEN], EOT_TOKEN: [EOT_TOKEN]}
+
+    def _bpe(self, word_str: str) -> List[str]:
+        if word_str in self._cache:
+            return self._cache[word_str]
+        parts = list(word_str[:-1]) + [word_str[-1] + "</w>"]
+        while len(parts) > 1:
+            pairs = set(zip(parts[:-1], parts[1:]))
+            best = min(pairs, key=lambda p: self.rank.get(p, float("inf")))
+            if best not in self.rank:
+                break
+            merged: List[str] = []
+            i = 0
+            while i < len(parts):
+                if (i < len(parts) - 1
+                        and (parts[i], parts[i + 1]) == best):
+                    merged.append(parts[i] + parts[i + 1])
+                    i += 2
+                else:
+                    merged.append(parts[i])
+                    i += 1
+            parts = merged
+        self._cache[word_str] = parts
+        return parts
+
+    @staticmethod
+    def _clean(text: str) -> str:
+        text = html.unescape(html.unescape(text))
+        return re.sub(r"\s+", " ", text).strip()
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for word in _WORD_RE.findall(self._clean(text).lower()):
+            word_bytes = "".join(self.byte_encoder[b]
+                                 for b in word.encode("utf-8"))
+            ids.extend(self.encoder[p] for p in self._bpe(word_bytes))
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        text = "".join(self.decoder[i] for i in ids)
+        raw = bytearray(self.byte_decoder[c] for c in text)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ")
+
+
+@functools.lru_cache()
+def default_tokenizer() -> ClipTokenizer:
+    return ClipTokenizer()
+
+
+def tokenize(texts: Union[str, Sequence[str]],
+             context_length: int = CONTEXT_LENGTH,
+             truncate: bool = False) -> np.ndarray:
+    """Texts -> (N, context_length) int32 token matrix
+    (reference clip.py:206-247 semantics: [SOT] ids [EOT], zero-padded;
+    overlong raises unless ``truncate``, which cuts and re-terminates)."""
+    if isinstance(texts, str):
+        texts = [texts]
+    tk = default_tokenizer()
+    out = np.zeros((len(texts), context_length), dtype=np.int32)
+    for row, text in enumerate(texts):
+        ids = [tk.sot] + tk.encode(text) + [tk.eot]
+        if len(ids) > context_length:
+            if not truncate:
+                raise RuntimeError(
+                    f"Input {text!r} is too long for context length "
+                    f"{context_length}")
+            ids = ids[:context_length]
+            ids[-1] = tk.eot
+        out[row, : len(ids)] = ids
+    return out

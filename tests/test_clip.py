@@ -1,0 +1,189 @@
+"""Golden tests: flax CLIP vs HuggingFace CLIPModel (random weights,
+quick_gelu — the OpenAI architecture). Covers cls image path, text path,
+the MaskCLIP value-trick patch path (reference clip/model.py:214-226,
+277-291), non-square pos-embed interpolation, and the OpenAI-layout
+state-dict converter via a synthesized fused-qkv dict."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from dropclip_tpu.teachers.clip import CLIP  # noqa: E402
+from dropclip_tpu.teachers.convert import (  # noqa: E402
+    from_hf_state_dict,
+    from_openai_state_dict,
+)
+
+VISION = dict(hidden_size=64, intermediate_size=256, num_hidden_layers=3,
+              num_attention_heads=4, image_size=32, patch_size=8,
+              hidden_act="quick_gelu", projection_dim=24,
+              layer_norm_eps=1e-5)
+TEXT = dict(vocab_size=99, hidden_size=32, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=16, hidden_act="quick_gelu",
+            projection_dim=24, layer_norm_eps=1e-5,
+            # make HF's eos-position pooling coincide with OpenAI/ours
+            # (argmax of token ids, reference model.py:424): eos == max id.
+            eos_token_id=98)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+    torch.manual_seed(0)
+    cfg = CLIPConfig(text_config=CLIPTextConfig(**TEXT).to_dict(),
+                     vision_config=CLIPVisionConfig(**VISION).to_dict(),
+                     projection_dim=24)
+    return CLIPModel(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def jax_clip(hf_model):
+    model = CLIP(embed_dim=24, image_resolution=32, vision_layers=3,
+                 vision_width=64, vision_patch_size=8, vision_heads=4,
+                 context_length=16, vocab_size=99, transformer_width=32,
+                 transformer_heads=4, transformer_layers=2)
+    params = from_hf_state_dict(hf_model.state_dict())
+    return model, {"params": params}
+
+
+def test_encode_image_matches_hf(rng, hf_model, jax_clip):
+    model, variables = jax_clip
+    px = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = hf_model.get_image_features(pixel_values=torch.as_tensor(px)).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(px.transpose(0, 2, 3, 1)),
+                                 method="encode_image"))
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_encode_text_matches_hf(rng, hf_model, jax_clip):
+    model, variables = jax_clip
+    toks = rng.randint(1, 98, size=(3, 16)).astype(np.int64)
+    toks[np.arange(3), rng.randint(4, 16, size=3)] = 98  # EOT token
+    with torch.no_grad():
+        want = hf_model.get_text_features(input_ids=torch.as_tensor(toks)).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(toks.astype(np.int32)),
+                                 method="encode_text"))
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def _torch_patch_oracle(m, px):
+    """Value-trick patch features computed directly on the HF module."""
+    vm = m.vision_model
+    h = vm.pre_layrnorm(vm.embeddings(px))
+    layers = list(vm.encoder.layers)
+    for layer in layers[:-1]:
+        h = layer(h, None, None)[0]
+    last = layers[-1]
+    x = last.layer_norm1(h)
+    v = last.self_attn.out_proj(last.self_attn.v_proj(x))
+    patch = vm.post_layernorm(v[:, 1:])
+    return patch @ m.visual_projection.weight.T
+
+
+def test_patch_encodings_match_value_trick(rng, hf_model, jax_clip):
+    model, variables = jax_clip
+    px = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = _torch_patch_oracle(hf_model, torch.as_tensor(px)).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(px.transpose(0, 2, 3, 1)),
+                                 method="get_patch_encodings"))
+    assert got.shape == (2, 16, 24)
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_nonsquare_input_interpolates(rng, jax_clip):
+    """336x448-style non-square input: pos-embed interpolation path
+    (reference interpolate.py:5-54). Shape + finiteness + cls path differs
+    from patch path."""
+    model, variables = jax_clip
+    px = rng.randn(1, 32, 48, 3).astype(np.float32)  # grid 4x6
+    patch = model.apply(variables, jnp.asarray(px), method="get_patch_encodings")
+    assert patch.shape == (1, 24, 24)
+    assert bool(jnp.all(jnp.isfinite(patch)))
+    cls = model.apply(variables, jnp.asarray(px), method="encode_image")
+    assert cls.shape == (1, 24)
+    assert bool(jnp.all(jnp.isfinite(cls)))
+
+
+def _hf_to_openai_sd(sd):
+    """Synthesize an OpenAI-layout state dict from an HF one (fused qkv,
+    resblocks naming) to exercise the OpenAI converter."""
+    out = {}
+
+    def blocks(src_prefix, dst_prefix, n):
+        for i in range(n):
+            s, d = f"{src_prefix}.{i}", f"{dst_prefix}.{i}"
+            out[f"{d}.ln_1.weight"] = sd[f"{s}.layer_norm1.weight"]
+            out[f"{d}.ln_1.bias"] = sd[f"{s}.layer_norm1.bias"]
+            out[f"{d}.ln_2.weight"] = sd[f"{s}.layer_norm2.weight"]
+            out[f"{d}.ln_2.bias"] = sd[f"{s}.layer_norm2.bias"]
+            out[f"{d}.attn.in_proj_weight"] = torch.cat(
+                [sd[f"{s}.self_attn.{p}_proj.weight"] for p in "qkv"], dim=0)
+            out[f"{d}.attn.in_proj_bias"] = torch.cat(
+                [sd[f"{s}.self_attn.{p}_proj.bias"] for p in "qkv"], dim=0)
+            out[f"{d}.attn.out_proj.weight"] = sd[f"{s}.self_attn.out_proj.weight"]
+            out[f"{d}.attn.out_proj.bias"] = sd[f"{s}.self_attn.out_proj.bias"]
+            out[f"{d}.mlp.c_fc.weight"] = sd[f"{s}.mlp.fc1.weight"]
+            out[f"{d}.mlp.c_fc.bias"] = sd[f"{s}.mlp.fc1.bias"]
+            out[f"{d}.mlp.c_proj.weight"] = sd[f"{s}.mlp.fc2.weight"]
+            out[f"{d}.mlp.c_proj.bias"] = sd[f"{s}.mlp.fc2.bias"]
+
+    blocks("vision_model.encoder.layers", "visual.transformer.resblocks",
+           VISION["num_hidden_layers"])
+    blocks("text_model.encoder.layers", "transformer.resblocks",
+           TEXT["num_hidden_layers"])
+    out["visual.conv1.weight"] = sd["vision_model.embeddings.patch_embedding.weight"]
+    out["visual.class_embedding"] = sd["vision_model.embeddings.class_embedding"]
+    out["visual.positional_embedding"] = sd[
+        "vision_model.embeddings.position_embedding.weight"]
+    out["visual.ln_pre.weight"] = sd["vision_model.pre_layrnorm.weight"]
+    out["visual.ln_pre.bias"] = sd["vision_model.pre_layrnorm.bias"]
+    out["visual.ln_post.weight"] = sd["vision_model.post_layernorm.weight"]
+    out["visual.ln_post.bias"] = sd["vision_model.post_layernorm.bias"]
+    out["visual.proj"] = sd["visual_projection.weight"].t()
+    out["token_embedding.weight"] = sd["text_model.embeddings.token_embedding.weight"]
+    out["positional_embedding"] = sd["text_model.embeddings.position_embedding.weight"]
+    out["ln_final.weight"] = sd["text_model.final_layer_norm.weight"]
+    out["ln_final.bias"] = sd["text_model.final_layer_norm.bias"]
+    out["text_projection"] = sd["text_projection.weight"].t()
+    out["logit_scale"] = sd["logit_scale"]
+    return out
+
+
+def test_openai_layout_converter_roundtrip(hf_model):
+    sd = hf_model.state_dict()
+    p_hf = from_hf_state_dict(sd)
+    p_oa = from_openai_state_dict(_hf_to_openai_sd(sd))
+    import jax
+
+    flat_hf = jax.tree_util.tree_leaves_with_path(p_hf)
+    flat_oa = dict(jax.tree_util.tree_leaves_with_path(p_oa))
+    assert len(flat_hf) == len(flat_oa)
+    for path, leaf in flat_hf:
+        other = flat_oa[path]
+        assert np.allclose(leaf, other, atol=1e-6), path
+
+
+def test_bf16_policy_close_to_f32(rng, hf_model, jax_clip):
+    """bf16 activations (the TPU policy replacing fp16 conversion,
+    model.py:445-466) stay within bf16 tolerance of f32."""
+    _, variables = jax_clip
+    model16 = CLIP(embed_dim=24, image_resolution=32, vision_layers=3,
+                   vision_width=64, vision_patch_size=8, vision_heads=4,
+                   context_length=16, vocab_size=99, transformer_width=32,
+                   transformer_heads=4, transformer_layers=2,
+                   dtype=jnp.bfloat16)
+    px = rng.randn(1, 32, 32, 3).astype(np.float32)
+    model, _ = jax_clip
+    f32 = np.asarray(model.apply(variables, jnp.asarray(px), method="encode_image"))
+    bf16 = np.asarray(model16.apply(variables, jnp.asarray(px),
+                                    method="encode_image")).astype(np.float32)
+    denom = np.maximum(np.abs(f32), 1e-3)
+    assert np.median(np.abs(bf16 - f32) / denom) < 0.1

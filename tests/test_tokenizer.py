@@ -1,0 +1,78 @@
+"""Golden tests of the CLIP BPE tokenizer vs HuggingFace CLIPTokenizer
+(constructed offline from the same public merges table), pinning parity
+with the reference's vendored tokenizer (simple_tokenizer.py, clip.py:
+206-247)."""
+
+import json
+
+import numpy as np
+import pytest
+
+transformers = pytest.importorskip("transformers")
+
+from dropclip_tpu.teachers.tokenizer import (  # noqa: E402
+    CONTEXT_LENGTH,
+    ClipTokenizer,
+    default_tokenizer,
+    tokenize,
+)
+
+SAMPLES = [
+    "a photo of a red mug",
+    "The Quick Brown FOX!!! jumps... over 123 lazy dogs?",
+    "object", "thing", "texture", "stuff",
+    "a 3d render of a cluttered tabletop scene",
+    "it's a knife,a spoon and a fork",
+    "weird   whitespace\tand\nnewlines",
+    "hyphen-ated und unicode: naïve café",
+]
+
+
+@pytest.fixture(scope="module")
+def hf_tok(tmp_path_factory):
+    tk = default_tokenizer()
+    d = tmp_path_factory.mktemp("hf_clip_tok")
+    vocab_file = d / "vocab.json"
+    merges_file = d / "merges.txt"
+    vocab_file.write_text(json.dumps(tk.encoder, ensure_ascii=False))
+    merges = [" ".join(pair) for pair, _ in
+              sorted(tk.rank.items(), key=lambda kv: kv[1])]
+    merges_file.write_text("#version: 0.2\n" + "\n".join(merges))
+    from transformers import CLIPTokenizer
+
+    return CLIPTokenizer(str(vocab_file), str(merges_file))
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_encode_matches_hf(hf_tok, text):
+    ours = default_tokenizer().encode(text)
+    theirs = hf_tok(text)["input_ids"][1:-1]  # strip SOT/EOT
+    assert ours == theirs, (text, ours, theirs)
+
+
+def test_tokenize_matrix_layout():
+    mat = tokenize(["a photo of a cat", "dog"])
+    tk = default_tokenizer()
+    assert mat.shape == (2, CONTEXT_LENGTH)
+    assert mat.dtype == np.int32
+    assert mat[0, 0] == tk.sot
+    row = mat[1]
+    eot_pos = int(np.argmax(row))  # EOT is the highest id in the row
+    assert row[eot_pos] == tk.eot
+    assert np.all(row[eot_pos + 1:] == 0)
+
+
+def test_tokenize_truncation():
+    long = "cat " * 200
+    with pytest.raises(RuntimeError):
+        tokenize(long)
+    mat = tokenize(long, truncate=True)
+    tk = default_tokenizer()
+    assert mat.shape == (1, CONTEXT_LENGTH)
+    assert mat[0, -1] == tk.eot
+
+
+def test_decode_roundtrip():
+    tk = default_tokenizer()
+    text = "a photo of a red mug"
+    assert tk.decode(tk.encode(text)).strip() == text
