@@ -1,0 +1,271 @@
+"""Multi-view feature fusion, TPU-native.
+
+Re-implementation of the reference's ``MultiviewFeatureFusion``
+(reference utils/feature_fusion.py:15-350) — visibility-tested projection
+of 3D points into every view, semantic-informativeness (relative
+similarity) weighting, and either point-level or object-level fusion —
+as pure jnp functions that jit/vmap/shard cleanly:
+
+- views are a ``lax.scan`` axis (sequential over V, so only one view's
+  working set is live in HBM at a time), points are a dense vector axis —
+  shardable over the mesh's ``point`` axis for giant clouds (this
+  project's "sequence parallelism", SURVEY §5);
+- teacher feature maps stay at patch resolution; bicubic upsampling is
+  evaluated *at the projected pixels only* (ops.resize.bicubic_sample_at)
+  instead of materializing (H, W, 768) maps per view
+  (reference feature_fusion.py:167-172) — exact same values, ~400x less
+  HBM traffic for a 10k-point cloud;
+- fixed shapes: instead of dropping invisible points (reference
+  feature_fusion.py:256-262), a ``visible`` mask is returned.
+
+Conventions preserved exactly (each one breaks parity silently if wrong):
+world->cam via inverted camera pose (transforms.py:52-61), the o3d y/z
+axis flip (feature_fusion.py:76-79), integer-truncation projection, the
+``|sensor_depth - point_z| <= 0.05`` visibility test (feature_fusion.py:
+81-125), per-view min-max normalization of object similarity matrices
+(feature_fusion.py:311-317), and NaN fused rows for never-visible objects
+(feature_fusion.py:335 divides by a zero weight sum; the ingest tool
+replaces them with text-query embeddings, preprocess_data.py:277-282).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.projections import project_points
+from ..geom.transforms import flip_yz, transform_pointcloud_to_camera_frame
+from ..ops.resize import bicubic_sample_at
+
+
+class FusionConfig(NamedTuple):
+    """Static fusion knobs (reference feature_fusion.py:16-53)."""
+
+    image_hw: Tuple[int, int] = (480, 640)
+    visibility_threshold: float = 0.05
+    use_visibility: bool = True
+    use_similarity: bool = True
+    sim_kernel: str = "max"  # 'max' | 'mean'
+    norm_feat: bool = True
+    eps: float = 1e-6
+
+
+def relative_similarity(pos: jnp.ndarray, neg: jnp.ndarray, kernel: str,
+                        eps: float = 1e-6) -> jnp.ndarray:
+    """clip(pos - max/mean(neg), eps) (reference feature_fusion.py:65-73)."""
+    if kernel == "max":
+        ref = jnp.max(neg, axis=-1)
+    elif kernel == "mean":
+        ref = jnp.mean(neg, axis=-1)
+    else:
+        raise ValueError(f"sim kernel must be max|mean, got {kernel!r}")
+    return jnp.clip(pos - ref, eps, None).astype(jnp.float32)
+
+
+def _project_view(points: jnp.ndarray, camera_pose: jnp.ndarray,
+                  K: jnp.ndarray, width: int, height: int):
+    """World points -> (uv int, point_depth, inside) for one view
+    (the projection block of feature_fusion.py:90-112)."""
+    cam = transform_pointcloud_to_camera_frame(points, camera_pose)
+    cam = flip_yz(cam)
+    return project_points(cam, K, width, height)
+
+
+def _view_visibility(points, depth, camera_pose, K, cfg: FusionConfig):
+    """One view's (uv, visible) — projection + depth test
+    (feature_fusion.py:81-125)."""
+    h, w = cfg.image_hw
+    uv, z, inside = _project_view(points, camera_pose, K, w, h)
+    ui = jnp.clip(uv[:, 0], 0, w - 1)
+    vi = jnp.clip(uv[:, 1], 0, h - 1)
+    sensor = depth[vi, ui]
+    visible = inside & (jnp.abs(sensor - z) <= cfg.visibility_threshold)
+    return uv, visible
+
+
+def visibility_mask(points: jnp.ndarray, depths: jnp.ndarray,
+                    camera_poses: jnp.ndarray, K: jnp.ndarray,
+                    cfg: FusionConfig) -> jnp.ndarray:
+    """(V, N) bool visibility of each point in each view."""
+
+    def one(depth, pose):
+        _, vis = _view_visibility(points, depth, pose, K, cfg)
+        return vis
+
+    return jax.vmap(one)(depths, camera_poses)
+
+
+def _point_sim_metric(feat_pts: jnp.ndarray, seg_pts: jnp.ndarray,
+                      query_embs: jnp.ndarray, cfg: FusionConfig) -> jnp.ndarray:
+    """Per-point semantic informativeness (feature_fusion.py:176-196).
+
+    feat_pts: (N, C) normalized features at the point's pixel; seg_pts: (N,)
+    the seg-mask id at that pixel; metric = relative similarity of the
+    pixel's own object query vs all other queries. Pixels whose seg id is
+    outside [0, Q) keep metric 0 (the reference never writes them).
+    """
+    q = query_embs.shape[0]
+    raw = feat_pts.astype(jnp.float32) @ query_embs.T  # (N, Q)
+    in_range = (seg_pts >= 0) & (seg_pts < q)
+    sid = jnp.clip(seg_pts, 0, q - 1)
+    pos = jnp.take_along_axis(raw, sid[:, None], axis=1)[:, 0]
+    if cfg.sim_kernel == "max":
+        others = jnp.where(jax.nn.one_hot(sid, q, dtype=bool), -jnp.inf, raw)
+        ref = jnp.max(others, axis=-1)
+    else:  # mean over the Q-1 other queries
+        ref = (jnp.sum(raw, -1) - pos) / jnp.maximum(q - 1, 1)
+    metric = jnp.clip(pos - ref, cfg.eps, None)
+    return jnp.where(in_range, metric, 0.0)
+
+
+class FusedPoints(NamedTuple):
+    features: jnp.ndarray    # (N, C) fused per-point features
+    visibility: jnp.ndarray  # (V, N) bool
+    similarity: jnp.ndarray  # (V, N) f32 per-view weights (zeros if unused)
+    visible: jnp.ndarray     # (N,) bool — seen in >= 1 view
+
+
+def fuse_points(points: jnp.ndarray, depths: jnp.ndarray,
+                seg_masks: jnp.ndarray, camera_poses: jnp.ndarray,
+                patch_feats: jnp.ndarray, query_embs: Optional[jnp.ndarray],
+                K: jnp.ndarray, cfg: FusionConfig) -> FusedPoints:
+    """Point-level fusion (reference aggregate_features + fuse_points,
+    feature_fusion.py:139-270).
+
+    points: (N, 3) world; depths: (V, H, W); seg_masks: (V, H, W) int;
+    camera_poses: (V, 4, 4) cam->world; patch_feats: (V, ph, pw, C) teacher
+    patch features; query_embs: (Q, C) normalized text queries (required
+    when cfg.use_similarity).
+    """
+    h, w = cfg.image_hw
+    n = points.shape[0]
+    c = patch_feats.shape[-1]
+    if cfg.use_similarity and query_embs is None:
+        raise ValueError("query_embs required when use_similarity")
+
+    def step(carry, view):
+        sum_feat, = carry
+        depth, seg, pose, pfeat = view
+        uv, visible = _view_visibility(points, depth, pose, K, cfg)
+        ui = jnp.clip(uv[:, 0], 0, w - 1)
+        vi = jnp.clip(uv[:, 1], 0, h - 1)
+
+        feat_pts = bicubic_sample_at(pfeat, (h, w), ui, vi)  # (N, C) f32
+        if cfg.norm_feat:
+            feat_pts = feat_pts / jnp.linalg.norm(feat_pts, axis=-1,
+                                                  keepdims=True)
+        if cfg.use_similarity:
+            seg_pts = seg[vi, ui]
+            metric = _point_sim_metric(feat_pts, seg_pts, query_embs, cfg)
+            wgt = jnp.where(visible, metric, 0.0)
+            contrib = feat_pts * wgt[:, None]
+        else:
+            wgt = visible.astype(jnp.float32)
+            contrib = feat_pts * wgt[:, None]
+        sum_feat = sum_feat + jnp.where(visible[:, None], contrib, 0.0)
+        return (sum_feat,), (visible, wgt)
+
+    init = (jnp.zeros((n, c), jnp.float32),)
+    (sum_feat,), (vis, wgts) = jax.lax.scan(
+        step, init, (depths, seg_masks, camera_poses, patch_feats))
+
+    visible_any = jnp.sum(vis.astype(jnp.int32), axis=0) > 0
+    divisor = (jnp.sum(wgts, axis=0) if cfg.use_similarity
+               else jnp.sum(vis.astype(jnp.float32), axis=0))
+    fused = sum_feat / divisor[:, None]  # NaN where never visible (parity)
+    return FusedPoints(features=fused, visibility=vis,
+                       similarity=wgts if cfg.use_similarity
+                       else jnp.zeros_like(wgts, jnp.float32),
+                       visible=visible_any)
+
+
+class FusedObjects(NamedTuple):
+    obj_features: jnp.ndarray  # (Q, C) fused per-object features (NaN if unseen)
+    weights: jnp.ndarray       # (Q, V) per-(object, view) fusion weights
+    visibility: jnp.ndarray    # (V, N) bool point visibility
+    visible: jnp.ndarray       # (N,) bool
+
+
+def _masked_minmax_2d(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    lo = jnp.min(jnp.where(mask, x, jnp.inf))
+    hi = jnp.max(jnp.where(mask, x, -jnp.inf))
+    rng = jnp.where(hi > lo, hi - lo, 1.0)
+    return (x - lo) / rng
+
+
+def fuse_obj_prior(points: jnp.ndarray, depths: jnp.ndarray,
+                   seg_masks: jnp.ndarray, camera_poses: jnp.ndarray,
+                   obj_feats: jnp.ndarray, obj_present: jnp.ndarray,
+                   query_embs: jnp.ndarray, K: jnp.ndarray,
+                   cfg: FusionConfig) -> FusedObjects:
+    """Object-level fusion (reference fuse_obj_prior, feature_fusion.py:
+    273-343).
+
+    obj_feats: (V, Q, C) per-view per-object teacher features, row q = the
+    feature of object id q in view v (zero row when absent); obj_present:
+    (V, Q) bool presence of object q's mask in view v (the reference's
+    ``np.unique(seg)[1:]`` membership). Weight of (obj, view):
+    1 -> #pixels (use_visibility) -> relative-similarity kernel
+    (use_similarity), exactly the reference's precedence (:317-331).
+    """
+    v_views, q, _ = obj_feats.shape
+
+    # per-(view, object) weights
+    def view_weight(feat_v, present_v, seg):
+        wgt = present_v.astype(jnp.float32)  # 1.0 baseline
+        if cfg.use_visibility:
+            counts = jnp.sum(
+                jax.nn.one_hot(seg.reshape(-1), q, dtype=jnp.float32), axis=0)
+            wgt = jnp.where(present_v, counts, 0.0)
+        if cfg.use_similarity:
+            featn = feat_v / jnp.linalg.norm(feat_v, axis=-1, keepdims=True)
+            sim = featn.astype(jnp.float32) @ query_embs.T  # (Q, Q)
+            sim = _masked_minmax_2d(sim, present_v[:, None])
+            pos = jnp.diagonal(sim)
+            others = jnp.where(jnp.eye(q, dtype=bool),
+                               -jnp.inf if cfg.sim_kernel == "max" else 0.0,
+                               sim)
+            if cfg.sim_kernel == "max":
+                ref = jnp.max(others, axis=-1)
+            else:
+                ref = (jnp.sum(sim, -1) - pos) / jnp.maximum(q - 1, 1)
+            wgt = jnp.where(present_v, jnp.clip(pos - ref, cfg.eps, None), 0.0)
+        return wgt
+
+    weights_vq = jax.vmap(view_weight)(obj_feats, obj_present, seg_masks)  # (V, Q)
+    weights = weights_vq.T  # (Q, V)
+
+    feats_qvc = jnp.swapaxes(obj_feats, 0, 1).astype(jnp.float32)  # (Q, V, C)
+    wsum = jnp.sum(weights, axis=1)
+    fused = jnp.einsum("qvc,qv->qc", feats_qvc, weights) / wsum[:, None]
+
+    vis = visibility_mask(points, depths, camera_poses, K, cfg)
+    visible_any = jnp.sum(vis.astype(jnp.int32), axis=0) > 0
+    return FusedObjects(obj_features=fused, weights=weights, visibility=vis,
+                        visible=visible_any)
+
+
+def splat_object_features(labels: jnp.ndarray, obj_features: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Per-point features = per-object features indexed by instance label,
+    zeros for label 0 / out-of-range (reference reconstruct_per_obj_feat,
+    feature_fusion.py:128-136 skips object index 0)."""
+    q = obj_features.shape[0]
+    lab = jnp.clip(labels, 0, q - 1)
+    out = obj_features[lab]
+    keep = (labels > 0) & (labels < q)
+    return jnp.where(keep[:, None], out, 0.0)
+
+
+def fuse(points, depths, seg_masks, camera_poses, mv_features, query_embs,
+         K, cfg: FusionConfig, use_obj_prior: bool = True,
+         obj_present: Optional[jnp.ndarray] = None):
+    """Dispatcher (reference feature_fusion.py:345-350)."""
+    if use_obj_prior:
+        assert obj_present is not None
+        return fuse_obj_prior(points, depths, seg_masks, camera_poses,
+                              mv_features, obj_present, query_embs, K, cfg)
+    return fuse_points(points, depths, seg_masks, camera_poses, mv_features,
+                       query_embs, K, cfg)

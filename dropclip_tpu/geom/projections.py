@@ -88,10 +88,9 @@ def bicubic_upsample(feat: jnp.ndarray, image_hw: Tuple[int, int]) -> jnp.ndarra
 
     Matches torch ``F.interpolate(..., mode='bicubic', align_corners=False)``
     used to upsample 2D teacher feature maps before splatting (reference
-    utils/feature_fusion.py:167-172). jax.image.resize('cubic') implements
-    the same Keys cubic kernel with half-pixel sampling.
+    utils/feature_fusion.py:167-172). Delegates to ops.resize (torch cubic
+    kernel a=-0.75; jax.image.resize's Keys kernel differs).
     """
-    H, W = image_hw
-    import jax
+    from ..ops.resize import bicubic_resize
 
-    return jax.image.resize(feat, (H, W, feat.shape[-1]), method="cubic")
+    return bicubic_resize(feat, image_hw)

@@ -114,3 +114,41 @@ def bilinear_resize(x: jnp.ndarray, out_hw: Sequence[int],
     else:
         h_axis, w_axis = x.ndim - 2, x.ndim - 1
     return _resize(x, out_hw, scale_hw, "linear", h_axis, w_axis)
+
+
+def bicubic_sample_at(src: jnp.ndarray, out_hw: Sequence[int],
+                      px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Value of ``bicubic_resize(src, out_hw)[py, px]`` WITHOUT materializing
+    the resized map.
+
+    The reference upsamples every (ph, pw, C) teacher feature map to the
+    full (H, W, C) image (~1 GB/view at 768-d) and then reads it at the N
+    projected point pixels (utils/feature_fusion.py:167-172, 233-240).
+    Sampling the interpolant at just those pixels is mathematically
+    identical: per point, a 4x4 tap neighborhood with torch's cubic weights.
+
+    src: (ph, pw, C); px/py: (N,) integer output-pixel coords in
+    [0, W) x [0, H). Returns (N, C) float32.
+    """
+    ph, pw = src.shape[0], src.shape[1]
+    H, W = int(out_hw[0]), int(out_hw[1])
+    src_f = src.astype(jnp.float32)
+
+    def axis_taps(coord, out_size, in_size):
+        s = (coord.astype(jnp.float32) + 0.5) * (in_size / out_size) - 0.5
+        i0 = jnp.floor(s)
+        frac = s - i0
+        idx = jnp.clip(i0.astype(jnp.int32)[:, None]
+                       + jnp.arange(-1, 3, dtype=jnp.int32)[None, :],
+                       0, in_size - 1)
+        return idx, _cubic_weights(frac)  # (N,4), (N,4)
+
+    iy, wy = axis_taps(py, H, ph)
+    ix, wx = axis_taps(px, W, pw)
+    # gather (N, 4, 4, C): rows by iy, cols by ix
+    flat = src_f.reshape(ph * pw, -1)
+    lin = iy[:, :, None] * pw + ix[:, None, :]  # (N, 4, 4)
+    taps = jnp.take(flat, lin.reshape(lin.shape[0], -1), axis=0)
+    taps = taps.reshape(lin.shape[0], 4, 4, -1)
+    w = (wy[:, :, None] * wx[:, None, :])[..., None]  # (N, 4, 4, 1)
+    return jnp.sum(taps * w, axis=(1, 2))
