@@ -1,0 +1,149 @@
+"""Batched teacher feature extraction (the offline ingest hot path).
+
+TPU-native redesign of the reference extractor framework
+(reference models/features/extractor.py:79-181 ``FeatureExtractor`` and
+:253-480 ``ClipExtractor``): where the reference builds PIL visual prompts
+one (view, object, level) at a time and feeds mini-batches to CUDA CLIP,
+here one jit program per view builds ALL K objects' prompts on device
+(teachers.prompting) and runs one batched CLIP forward over (K*L) inputs;
+patch mode likewise batches whole view stacks. The (V, K, C) output is the
+dense object-feature tensor fusion.fuse_obj_prior consumes directly.
+
+Modes mirror the reference:
+- ``cls``: class-token embeddings (encode_image);
+- ``patch``: MaskCLIP value-trick patch embeddings (get_patch_encodings).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .prompting import (CLIP_MEAN, CLIP_STD, build_prompts, normalize,
+                        num_prompts, resize_image)
+
+
+class ClipExtractor:
+    """CLIP feature extractor over images / (image, instance-mask) pairs.
+
+    Args mirror reference extractor.py:263-304; ``model``/``variables``
+    are a teachers.clip.CLIP and its params (the reference downloads the
+    checkpoint itself, clip.py:98-203 — here weights are injected).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        mode: str = "cls",
+        visual_prompt: Sequence[str] = ("crop-mask",),
+        crop_num_levels: int = 1,
+        crop_expansion_ratio: float = 0.15,
+        blur_kernel: int = 41,
+        img_resize: Tuple[int, int] = (336, 448),
+        batch_size: int = 32,
+    ):
+        if isinstance(visual_prompt, str):
+            visual_prompt = tuple(visual_prompt.split(","))
+        self.model = model
+        self.variables = variables
+        self.visual_prompt = tuple(visual_prompt)
+        self.crop_num_levels = crop_num_levels
+        self.crop_expansion_ratio = crop_expansion_ratio
+        self.blur_kernel = blur_kernel
+        self.img_resize = tuple(img_resize)
+        self.batch_size = batch_size
+        self.patch_size = model.vision_patch_size
+        self.patch_hw = (img_resize[0] // self.patch_size,
+                         img_resize[1] // self.patch_size)
+        self.set_mode(mode)
+
+        @jax.jit
+        def _encode_cls(variables, pixels):
+            return self.model.apply(variables, pixels, method="encode_image")
+
+        @jax.jit
+        def _encode_patch(variables, pixels):
+            out = self.model.apply(variables, pixels,
+                                   method="get_patch_encodings")
+            ph, pw = self.patch_hw
+            return out.reshape(out.shape[0], ph, pw, out.shape[-1])
+
+        @jax.jit
+        def _preprocess(images):
+            x = resize_image(images.astype(jnp.float32), self.img_resize)
+            return normalize(x / 255.0, CLIP_MEAN, CLIP_STD)
+
+        @jax.jit
+        def _obj_prior_view(variables, image, masks):
+            """One view: (H, W, 3) + (K, H, W) -> (K, C) prompt-averaged
+            cls embeddings (reference extractor.py:370-466: K objects x L
+            prompts, mean over prompts :413-418)."""
+            prompts = build_prompts(
+                image, masks, kinds=self.visual_prompt,
+                crop_num_levels=self.crop_num_levels,
+                crop_expansion_ratio=self.crop_expansion_ratio,
+                blur_kernel=self.blur_kernel, out_hw=self.img_resize)
+            k, l = prompts.shape[0], prompts.shape[1]
+            flat = prompts.reshape(k * l, *prompts.shape[2:])
+            emb = self.model.apply(variables, flat, method="encode_image")
+            return emb.reshape(k, l, -1).mean(axis=1)
+
+        self._encode_cls = _encode_cls
+        self._encode_patch = _encode_patch
+        self._preprocess = _preprocess
+        self._obj_prior_view = _obj_prior_view
+
+    def set_mode(self, mode: str) -> None:
+        if mode not in ("cls", "patch"):
+            raise ValueError("Set mode to either ['cls', 'patch']")
+        self.mode = mode
+
+    def extract(self, images) -> jnp.ndarray:
+        """Images (V, H, W, 3) uint8 -> (V, C) cls features or
+        (V, ph, pw, C) patch features, batched (reference extractor.py:
+        101-127)."""
+        images = jnp.asarray(images)
+        encode = self._encode_cls if self.mode == "cls" else self._encode_patch
+        outs = []
+        for i in range(0, images.shape[0], self.batch_size):
+            batch = self._preprocess(images[i: i + self.batch_size])
+            outs.append(encode(self.variables, batch))
+        return jnp.concatenate(outs, axis=0)
+
+    def extract_obj_prior(self, images, seg_masks, obj_ids) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-view per-object prompt-averaged embeddings.
+
+        images: (V, H, W, 3) uint8; seg_masks: (V, H, W) int instance ids;
+        obj_ids: (K,) int object ids to extract (row k of the output is
+        object obj_ids[k]).
+
+        Returns (feats (V, K, C), present (V, K) bool). Rows absent from a
+        view (id not in that view's seg) are computed-and-masked rather
+        than skipped (static shapes; reference extractor.py:389-395 skips).
+        """
+        images = np.asarray(images)
+        seg = np.asarray(seg_masks)
+        obj_ids = np.asarray(obj_ids)
+        v = images.shape[0]
+        present = np.stack([np.isin(obj_ids, np.unique(seg[i])[1:])
+                            for i in range(v)])
+        feats = []
+        for i in range(v):
+            masks = jnp.asarray(seg[i])[None, :, :] == jnp.asarray(
+                obj_ids)[:, None, None]
+            feats.append(self._obj_prior_view(self.variables,
+                                              jnp.asarray(images[i]), masks))
+        out = jnp.stack(feats)  # (V, K, C)
+        return out * jnp.asarray(present)[..., None], jnp.asarray(present)
+
+    def encode_text(self, texts: Sequence[str]) -> jnp.ndarray:
+        """(Q,) prompts -> (Q, C) UNnormalized text embeddings."""
+        from .tokenizer import tokenize
+
+        toks = jnp.asarray(tokenize(list(texts)))
+        return self.model.apply(self.variables, toks, method="encode_text")

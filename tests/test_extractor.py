@@ -1,0 +1,98 @@
+"""Extractor framework tests with a tiny random CLIP: shapes, present
+masking, prompt averaging, batching invariance."""
+
+import numpy as np
+import pytest
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dropclip_tpu.teachers.clip import CLIP  # noqa: E402
+from dropclip_tpu.teachers.extractor import ClipExtractor  # noqa: E402
+
+H, W = 48, 64
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = CLIP(embed_dim=24, image_resolution=32, vision_layers=2,
+                 vision_width=64, vision_patch_size=16, vision_heads=4,
+                 context_length=77, vocab_size=49408, transformer_width=32,
+                 transformer_heads=4, transformer_layers=2)
+    px = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    toks = jnp.zeros((1, 77), jnp.int32)
+    variables = jax.jit(lambda p, t: model.init(jax.random.PRNGKey(0), p, t))(
+        px, toks)
+    return model, variables
+
+
+def scene(rng, v=2):
+    imgs = (rng.rand(v, H, W, 3) * 255).astype(np.uint8)
+    segs = np.zeros((v, H, W), np.int32)
+    segs[:, 5:20, 10:30] = 1
+    segs[0, 25:40, 35:60] = 2  # object 2 only in view 0
+    return imgs, segs
+
+
+def test_cls_extract_shapes(rng, tiny):
+    model, variables = tiny
+    ex = ClipExtractor(model, variables, mode="cls", img_resize=(32, 32),
+                       batch_size=2)
+    imgs, _ = scene(rng, v=3)
+    out = ex.extract(imgs)
+    assert out.shape == (3, 24)
+    # batching must not change results
+    ex1 = ClipExtractor(model, variables, mode="cls", img_resize=(32, 32),
+                        batch_size=1)
+    out1 = ex1.extract(imgs)
+    assert np.allclose(np.asarray(out), np.asarray(out1), atol=1e-5)
+
+
+def test_patch_extract_shapes(rng, tiny):
+    model, variables = tiny
+    ex = ClipExtractor(model, variables, mode="patch", img_resize=(32, 48))
+    imgs, _ = scene(rng)
+    out = ex.extract(imgs)
+    assert out.shape == (2, 2, 3, 24)  # 32/16 x 48/16 grid
+
+
+def test_obj_prior_present_masking(rng, tiny):
+    model, variables = tiny
+    ex = ClipExtractor(model, variables, mode="cls", img_resize=(32, 32),
+                       visual_prompt=("crop-mask",), crop_num_levels=1)
+    imgs, segs = scene(rng)
+    feats, present = ex.extract_obj_prior(imgs, segs, obj_ids=[1, 2, 3])
+    assert feats.shape == (2, 3, 24)
+    assert np.array_equal(np.asarray(present),
+                          [[True, True, False], [True, False, False]])
+    # absent rows zeroed
+    assert np.allclose(np.asarray(feats)[1, 1], 0.0)
+    assert np.allclose(np.asarray(feats)[:, 2], 0.0)
+    assert not np.allclose(np.asarray(feats)[0, 0], 0.0)
+
+
+def test_obj_prior_prompt_average(rng, tiny):
+    """L>1 prompt kinds average; single kind equals its own embedding."""
+    model, variables = tiny
+    imgs, segs = scene(rng, v=1)
+    ex1 = ClipExtractor(model, variables, img_resize=(32, 32),
+                        visual_prompt=("mask-out",))
+    ex2 = ClipExtractor(model, variables, img_resize=(32, 32),
+                        visual_prompt=("mask-out", "mask-out"))
+    f1, _ = ex1.extract_obj_prior(imgs, segs, obj_ids=[1])
+    f2, _ = ex2.extract_obj_prior(imgs, segs, obj_ids=[1])
+    assert np.allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+
+
+def test_encode_text(tiny):
+    model, variables = tiny
+    ex = ClipExtractor(model, variables, img_resize=(32, 32))
+    emb = ex.encode_text(["a red mug", "a spoon"])
+    assert emb.shape == (2, 24)
+    assert bool(jnp.all(jnp.isfinite(emb)))
+
+
+def test_mode_validation(tiny):
+    model, variables = tiny
+    with pytest.raises(ValueError):
+        ClipExtractor(model, variables, mode="nope", img_resize=(32, 32))
