@@ -1,0 +1,215 @@
+"""MV-TOD (Blender) distillation dataset over processed scene h5py files.
+
+Behavioral port of the reference dataset (reference data/dataset_blender.py
+:19-486): per-object fused-feature splat, NaN-object removal, partial-view
+sampling from stored visibility masks (union of k random views), random
+downsample to MAX_POINTS, center shift + shift/rotation/elastic/flip/color
+augmentation, sparse quantization, eval-query construction.
+
+TPU-first differences:
+- every sample comes out PADDED to a fixed voxel capacity with an
+  occupancy mask (XLA static shapes) instead of variable-length tensors
+  glued by ME.sparse_collate; the batch index column becomes a batch AXIS;
+- randomness is an explicit per-(seed, epoch, index) np.random.Generator
+  (deterministic resume; the reference uses process-global RNG);
+- the collate produces the distill engine's DistilBatch arrays directly.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import augmentations as aug
+from .queries import prepare_queries
+from .scene_io import read_scene
+from .voxelize_np import sparse_quantize_np
+
+MAX_POINTS = 10000  # reference dataset_blender.py:20
+
+
+class MVTODDataset:
+    def __init__(self, cfg, split: str):
+        self.cfg = cfg
+        self.split = split
+        self.root = cfg.root_dir
+        self.capacity = int(cfg.voxel_capacity or 8192)
+        self.voxel_size = float(cfg.voxel_size or 0.05)
+        self.use_full_pc = bool(cfg.use_full_pc)
+        self.use_color = bool(cfg.use_color)
+        self.seed = int(cfg.manual_seed or 42)
+        self.epoch = 0
+
+        h5f_list = sorted(glob.glob(os.path.join(self.root, split, "*", "*.h5py")))
+        if not h5f_list:
+            h5f_list = sorted(glob.glob(os.path.join(self.root, split, "*.h5py")))
+        self.data: List[Tuple[str, int]] = []
+        if not self.use_full_pc:
+            if cfg.use_k_views and int(cfg.use_k_views) > 1:
+                self.data = [(f, -1) for f in h5f_list]
+            else:
+                assert cfg.use_view_ids is not None, (
+                    "need use_view_ids when use_k_views <= 1")
+                ids = [int(x) for x in str(cfg.use_view_ids).split(",")]
+                self.data = [(f, i) for f in h5f_list for i in ids]
+        else:
+            self.data = [(f, -1) for f in h5f_list]
+
+        self.use_augm = bool(cfg.use_augmentation) and split == "train"
+        if self.use_augm:
+            elastic = ((cfg.aug_elastic_distortion_granularity_min,
+                        cfg.aug_elastic_distortion_granularity_max),
+                       (cfg.aug_elastic_distortion_magnitude_min,
+                        cfg.aug_elastic_distortion_magnitude_max))
+            tfs = [aug.ElasticDistortion(elastic),
+                   aug.RandomHorizontalFlip("z")]
+            if cfg.aug_use_blob_removal:
+                tfs.append(aug.RandomBlobRemovalPerObj(
+                    (cfg.aug_n_blob_min, cfg.aug_n_blob_max),
+                    (cfg.aug_blob_size_min, cfg.aug_blob_size_max)))
+            self.coord_transforms = aug.Compose(tfs)
+            self.color_transforms = None
+            if self.use_color and cfg.use_color_augmentation:
+                self.color_transforms = aug.Compose([
+                    aug.ChromaticAutoContrast(),
+                    aug.ChromaticTranslation(cfg.aug_color_trans_ratio or 0.1),
+                    aug.ChromaticJitter(cfg.aug_color_trans_ratio or 0.1),
+                    aug.HueSaturationTranslation(cfg.aug_hue_max or 0.5,
+                                                 cfg.aug_saturation_max or 0.2),
+                ])
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def _rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self.epoch, index))
+
+    @staticmethod
+    def remove_nan_objects(labels, obj_feats, obj_ids):
+        """reference dataset_blender.py:257-268."""
+        nan_ids = [int(i) for i in obj_ids if i != 0
+                   and np.any(np.isnan(obj_feats[i]))]
+        mask = ~np.isin(labels, nan_ids)
+        return mask, nan_ids
+
+    def _random_rotation(self, xyz, rng):
+        """Random small euler rotation, optionally shuffled order
+        (reference dataset_blender.py:274-301)."""
+        cfg = self.cfg
+        if rng.uniform(0, 1) <= float(cfg.aug_random_rot_chance or 0.5):
+            return xyz
+        rx = rng.uniform(cfg.aug_rotate_min_x or 0, cfg.aug_rotate_max_x or 0)
+        ry = rng.uniform(cfg.aug_rotate_min_y or 0, cfg.aug_rotate_max_y or 0)
+        rz = rng.uniform(cfg.aug_rotate_min_z or 0, cfg.aug_rotate_max_z or 0)
+        cx, sx = np.cos(rx), np.sin(rx)
+        cy, sy = np.cos(ry), np.sin(ry)
+        cz, sz = np.cos(rz), np.sin(rz)
+        mats = [np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]]),
+                np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]]),
+                np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])]
+        if cfg.aug_random_euler_order:
+            rng.shuffle(mats)
+        R = mats[2] @ mats[1] @ mats[0]
+        return xyz @ R.T
+
+    def __getitem__(self, index: int) -> Dict:
+        path, view_id = self.data[index]
+        scene_id = os.path.basename(os.path.dirname(path)) or \
+            os.path.splitext(os.path.basename(path))[0]
+        rng = self._rng(index)
+        scene = read_scene(path)
+        xyz, rgb, label = scene.xyz, scene.rgb, scene.label
+        obj_feats, obj_ids = scene.obj_feats, scene.obj_ids
+
+        queries = prepare_queries(scene.objects_info,
+                                  self.cfg.eval_scenario or "cls")
+
+        keep, _ = self.remove_nan_objects(label, obj_feats, obj_ids)
+        xyz, rgb, label = xyz[keep], rgb[keep], label[keep]
+        vis = scene.vis_mask[:, keep] if scene.vis_mask is not None else None
+
+        feat = obj_feats[label]  # per-point splat (reference :128-130)
+        feat_dim = feat.shape[-1]
+
+        if not self.use_full_pc:
+            assert vis is not None, "vis_mask required for partial views"
+            if view_id >= 0:
+                vmask = vis[view_id]
+            else:
+                k = int(rng.integers(1, int(self.cfg.use_k_views) + 1))
+                view_ids = rng.choice(vis.shape[0], size=k, replace=False)
+                vmask = vis[view_ids].sum(0).astype(bool)
+            xyz, rgb = xyz[vmask], rgb[vmask]
+            label, feat = label[vmask], feat[vmask]
+
+        # random downsample to fixed MAX_POINTS (reference :353-362)
+        n = xyz.shape[0]
+        idx = rng.choice(n, MAX_POINTS, replace=n < MAX_POINTS)
+        xyz, rgb, label, feat = xyz[idx], rgb[idx], label[idx], feat[idx]
+
+        xyz = xyz - xyz.mean(0)
+        if self.use_augm:
+            if self.cfg.aug_random_shift:
+                xyz = xyz + rng.uniform(xyz.min(0), xyz.max(0)) / 2
+            if self.cfg.aug_random_rotation:
+                xyz = self._random_rotation(xyz, rng)
+            cat = np.concatenate([rgb, feat], axis=-1)
+            xyz, cat, label = self.coord_transforms(xyz, cat, label, rng)
+            rgb, feat = cat[:, :3], cat[:, 3:3 + feat_dim]
+            if self.color_transforms is not None:
+                rgb8 = (255 * rgb).astype(np.uint8).astype(np.float32)
+                xyz, rgb8, label = self.color_transforms(xyz, rgb8, label, rng)
+                rgb = (rgb8 / 255.0).astype(np.float32)
+
+        vox = sparse_quantize_np(xyz.astype(np.float32), self.voxel_size,
+                                 self.capacity, labels=label, ignore_label=0)
+        rep = vox.unique_idx
+        in_parts = [xyz[rep].astype(np.float32)]
+        if self.use_color:
+            in_parts.append(rgb[rep].astype(np.float32))
+        in_feats = np.concatenate(in_parts, axis=-1) * vox.mask[:, None]
+        targets = feat[rep].astype(np.float32) * vox.mask[:, None]
+
+        return {
+            "coords": vox.coords,
+            "mask": vox.mask,
+            "in_feats": in_feats,
+            "targets": targets,
+            "labels": vox.labels * vox.mask,
+            "inverse_map": vox.inverse_map,
+            "xyz": xyz.astype(np.float32),
+            "rgb": rgb.astype(np.float32),
+            "raw_label": label.astype(np.int32),
+            "scene_id": scene_id,
+            "view_id": view_id,
+            "queries": queries,
+            "obj_ids": obj_ids,
+        }
+
+    @staticmethod
+    def collate(samples: List[Dict]) -> Dict:
+        """Stack padded samples into batch arrays (replaces
+        ME.utils.sparse_collate, reference :438-475 — the batch index
+        column becomes the leading axis)."""
+        out = {k: np.stack([s[k] for s in samples])
+               for k in ("coords", "mask", "in_feats", "targets", "labels",
+                         "inverse_map")}
+        for k in ("scene_id", "view_id", "queries", "obj_ids", "xyz", "rgb",
+                  "raw_label"):
+            out[k] = [s[k] for s in samples]
+        return out
+
+
+def build_dataset(cfg):
+    """reference dataset_blender.py:478-486."""
+    train = MVTODDataset(cfg, split="train")
+    if cfg.evaluate:
+        val = MVTODDataset(cfg, split="test")
+        return train, val, MVTODDataset.collate
+    return train, None, MVTODDataset.collate
