@@ -37,18 +37,23 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarra
 
 def paired_softmax_probs(vis_norm: jnp.ndarray, pos_emb: jnp.ndarray,
                          neg_embs: jnp.ndarray,
-                         temp: float = SOFTMAX_TEMP) -> jnp.ndarray:
+                         temp: float = SOFTMAX_TEMP,
+                         neg_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(..., C) x (C,) x (K, C) -> (...,) positive probability
-    (reference similarity.py:49-62)."""
+    (reference similarity.py:49-62): softmax over [pos x K_real, negs],
+    first column. ``neg_mask`` (K,) marks real rows of a padded negative
+    set — padded rows contribute neither a negative term nor a broadcast
+    positive copy, so results match the unpadded computation exactly."""
     pos = vis_norm @ pos_emb  # (...,)
     neg = vis_norm @ neg_embs.T  # (..., K)
-    k = neg_embs.shape[0]
-    paired = jnp.concatenate(
-        [jnp.broadcast_to(pos[..., None], neg.shape), neg], axis=-1)
-    probs = jnp.nan_to_num(
-        jnp.exp((paired - jnp.max(paired, -1, keepdims=True)) / temp))
-    probs = probs / jnp.sum(probs, -1, keepdims=True)
-    return jnp.nan_to_num(probs[..., 0])
+    if neg_mask is None:
+        neg_mask = jnp.ones(neg_embs.shape[0], dtype=bool)
+    n_real = jnp.sum(neg_mask.astype(jnp.float32))
+    hi = jnp.maximum(pos, jnp.max(jnp.where(neg_mask, neg, -jnp.inf), -1))
+    e_pos = jnp.exp((pos - hi) / temp)
+    e_neg = jnp.where(neg_mask, jnp.exp((neg - hi[..., None]) / temp), 0.0)
+    denom = n_real * e_pos + jnp.sum(e_neg, axis=-1)
+    return jnp.nan_to_num(e_pos / denom)
 
 
 def _masked_minmax(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -72,11 +77,13 @@ def predict_from_embeddings(
     threshold: float = 0.7,
     temp: float = SOFTMAX_TEMP,
     norm_vis_feat: bool = True,
+    neg_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-point binary mask + normalized similarity for one query.
 
     vis_feats: (N, C) [or any leading shape]; pos_emb: (C,) normalized;
-    neg_embs: (K, C) normalized or None; mask: (N,) validity of padded rows.
+    neg_embs: (K, C) normalized or None (``neg_mask`` marks real rows of a
+    padded set); mask: (N,) validity of padded rows.
     Returns (pred bool (N,), sims_norm f32 (N,)) —
     reference similarity.py:70-101.
     """
@@ -89,15 +96,21 @@ def predict_from_embeddings(
         sims_norm = _masked_minmax(sims, mask)
         pred = sims_norm > threshold
     elif method == "paired":
-        sims = paired_softmax_probs(vis_feats, pos_emb, neg_embs, temp)
+        sims = paired_softmax_probs(vis_feats, pos_emb, neg_embs, temp,
+                                    neg_mask=neg_mask)
         sims_norm = _masked_minmax(sims, mask)
         pred = sims_norm > threshold
     elif method == "argmax":
+        if neg_mask is None:
+            neg_mask = jnp.ones(neg_embs.shape[0], dtype=bool)
         raw_pos = vis_feats @ pos_emb
         raw_neg = vis_feats @ neg_embs.T
-        sims_dif = raw_pos - jnp.mean(raw_neg, axis=-1)
+        n_real = jnp.maximum(jnp.sum(neg_mask.astype(jnp.float32)), 1.0)
+        mean_neg = jnp.sum(jnp.where(neg_mask, raw_neg, 0.0), -1) / n_real
+        sims_dif = raw_pos - mean_neg
         sims_norm = _masked_minmax(sims_dif, mask)
-        pred = raw_pos > jnp.max(raw_neg, axis=-1)  # argmax == positive class
+        max_neg = jnp.max(jnp.where(neg_mask, raw_neg, -jnp.inf), -1)
+        pred = raw_pos > max_neg  # argmax == positive class
     else:
         raise ValueError(f"unknown method {method!r}")
 

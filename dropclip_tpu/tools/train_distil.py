@@ -1,0 +1,200 @@
+"""Distillation training CLI.
+
+TPU-native counterpart of the reference trainer (reference
+tools/train_distil.py:39-283): same config semantics, recipe (AdamW
+amsgrad + per-iteration SGDR cosine LR, grad-clip, cosine distil loss, k
+random views per sample, best-by-val-sim-loss checkpointing) — but the
+process model is SPMD instead of mp.spawn+NCCL: ONE process per host, a
+1-D device mesh with the batch sharded on the ``data`` axis, and XLA
+inserting the gradient/batch-stat all-reduces (replacing DDP + SyncBN,
+reference :124-144). bf16 replaces AMP fp16 + GradScaler.
+
+Usage:
+  python -m dropclip_tpu.tools.train_distil --config configs/DistilBlender.yaml \
+      [--opts key value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.checkpoint import restore_checkpoint, save_checkpoint
+from ..core.config import CfgNode, load_cfg, merge_cfg_from_list
+from ..core.logging import setup_logger
+from ..core.mesh import DATA_AXIS, make_mesh
+from ..core.meters import AverageMeter, ProgressMeter
+from ..distill.engine import DistilBatch, make_eval_step, make_train_step
+from ..distill.evaluate import validate_grounding
+from ..distill.train_state import create_train_state, make_optimizer
+from ..data.dataset_blender import MVTODDataset, build_dataset
+from ..data.loader import DataLoader
+from ..sparse.topology import build_unet_topology
+from ..sparse.unet import build_student
+
+
+def get_parser() -> CfgNode:
+    p = argparse.ArgumentParser("dropclip_tpu distillation trainer")
+    p.add_argument("--config", required=True)
+    p.add_argument("--opts", nargs=argparse.REMAINDER, default=None)
+    a = p.parse_args()
+    cfg = load_cfg(a.config)
+    if a.opts:
+        cfg = merge_cfg_from_list(cfg, a.opts)
+    return cfg
+
+
+def to_batch(b, mesh) -> DistilBatch:
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    put = lambda x: jax.device_put(jnp.asarray(x), sh)
+    labels = jnp.asarray(b["labels"]).astype(jnp.int32)
+    return DistilBatch(
+        coords=put(b["coords"]), mask=put(b["mask"]),
+        in_feats=put(b["in_feats"]), targets=put(b["targets"]),
+        labels=put(labels),
+        labels_cls=put(b.get("labels_cls", np.zeros_like(b["labels"]))))
+
+
+def make_clip_sim(cfg):
+    """Text encoder for grounding eval; None when no checkpoint is given
+    (synthetic/dev runs — val then reports distil loss only)."""
+    if not cfg.clip_checkpoint:
+        return None
+    from ..similarity import ClipSimilarity
+    from ..teachers.clip import build_clip
+    from ..teachers.convert import load_params
+
+    model = build_clip(cfg.clip_model or "ViT-L/14@336px", dtype=jnp.bfloat16)
+    params = load_params(cfg.clip_checkpoint)
+    return ClipSimilarity(model, {"params": params},
+                          method=cfg.sim_method or "paired",
+                          threshold=float(cfg.sim_norm_thresh or 0.7))
+
+
+def main() -> None:
+    cfg = get_parser()
+    stamp = datetime.datetime.now().strftime("%d-%m-%Y-%H:%M")
+    save_dir = os.path.join(cfg.save_path or "./experiments",
+                            f"Distill-{cfg.dataset}", stamp)
+    logger = setup_logger("dropclip", save_dir=save_dir)
+    logger.info("config:\n%s", cfg)
+
+    np.random.seed(int(cfg.manual_seed or 42))
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    logger.info("mesh: %d devices on '%s' axis (%s)", n_dev, DATA_AXIS,
+                jax.devices()[0].platform)
+    assert int(cfg.batch_size or 8) % n_dev == 0, (
+        f"global batch {cfg.batch_size} must divide over {n_dev} devices")
+
+    train_ds, val_ds, collate = build_dataset(cfg)
+    train_loader = DataLoader(
+        train_ds, int(cfg.batch_size or 8), collate, shuffle=True,
+        num_workers=int(cfg.workers or 8), seed=int(cfg.manual_seed or 42),
+        shard_index=jax.process_index(), num_shards=jax.process_count())
+    val_loader = None
+    if val_ds is not None:
+        val_loader = DataLoader(
+            val_ds, int(cfg.batch_size_val or 8), collate, shuffle=False,
+            num_workers=int(cfg.workers_val or 2),
+            shard_index=jax.process_index(), num_shards=jax.process_count())
+
+    model = build_student(cfg)
+    iters_per_epoch = max(len(train_loader), 1)
+    tx = make_optimizer(cfg, iters_per_epoch)
+
+    example = collate([train_ds[0]] * max(n_dev, 1))
+    topo0 = build_unet_topology(jnp.asarray(example["coords"]),
+                                jnp.asarray(example["mask"]))
+    state = create_train_state(model, topo0, jnp.asarray(example["in_feats"]),
+                               tx, rng=jax.random.PRNGKey(
+                                   int(cfg.manual_seed or 42)))
+    rep = NamedSharding(mesh, P())
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state)
+
+    start_epoch = int(cfg.start_epoch or 0)
+    best_val = float("inf")
+    payload = {"step": state.step, "params": state.params,
+               "batch_stats": state.batch_stats, "opt_state": state.opt_state,
+               "epoch": 0, "best_val": best_val}
+    if cfg.resume:
+        restored = restore_checkpoint(cfg.resume, payload)
+        if restored is not None:
+            state = state.replace(step=restored["step"],
+                                  params=restored["params"],
+                                  batch_stats=restored["batch_stats"],
+                                  opt_state=restored["opt_state"])
+            start_epoch = int(restored["epoch"]) + 1
+            best_val = float(restored["best_val"])
+            logger.info("resumed from %s @ epoch %d", cfg.resume, start_epoch)
+        else:
+            logger.warning("no checkpoint found at %s", cfg.resume)
+
+    train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(cfg))
+    clip_sim = make_clip_sim(cfg)
+
+    def eval_forward(b):
+        out, m = eval_step(state, to_batch(b, mesh))
+        return out, m["distil_loss"]
+
+    dropout_key = jax.random.PRNGKey(int(cfg.manual_seed or 42) + 1)
+
+    for epoch in range(start_epoch, int(cfg.epochs or 200)):
+        train_loader.set_epoch(epoch)
+        bt = AverageMeter("Batch", ":.3f")
+        dt = AverageMeter("Data", ":.3f")
+        lm = AverageMeter("DistilLoss", ":.4f")
+        gm = AverageMeter("GradNorm", ":.2f")
+        prog = ProgressMeter(iters_per_epoch, [bt, dt, lm, gm],
+                             prefix=f"Epoch [{epoch}] ")
+        end = time.time()
+        for i, b in enumerate(train_loader):
+            dt.update(time.time() - end)
+            dropout_key, sub = jax.random.split(dropout_key)
+            state, metrics = train_step(state, to_batch(b, mesh), sub)
+            # host fetch = sync point (also keeps meters honest)
+            lm.update(float(metrics["distil_loss"]), n=int(cfg.batch_size or 8))
+            gm.update(float(metrics["grad_norm"]))
+            bt.update(time.time() - end)
+            end = time.time()
+            if i % int(cfg.print_freq or 25) == 0:
+                prog.display(i, print_fn=logger.info)
+
+        val_loss = lm.avg
+        if val_loader is not None and (epoch % int(cfg.eval_freq or 1) == 0):
+            if clip_sim is not None and cfg.eval_task in ("all", "grounding"):
+                res = validate_grounding(val_loader, eval_forward, clip_sim,
+                                         cfg)
+                logger.info("Eval Grounding: Epoch=[%d/%s] %s", epoch,
+                            cfg.epochs, res)
+                val_loss = res["DistilLoss"]
+            else:
+                losses = [float(eval_forward(b)[1]) for b in val_loader]
+                val_loss = float(np.mean(losses)) if losses else lm.avg
+                logger.info("Eval: Epoch=[%d/%s] DistilLoss=%.4f", epoch,
+                            cfg.epochs, val_loss)
+
+        if jax.process_index() == 0 and epoch % int(cfg.save_freq or 1) == 0:
+            is_best = val_loss < best_val
+            best_val = min(val_loss, best_val)
+            save_checkpoint(save_dir, {
+                "step": state.step, "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "epoch": epoch,
+                "best_val": best_val}, best=is_best)
+            logger.info("saved checkpoint (epoch %d, best=%s)", epoch, is_best)
+
+    logger.info("done; checkpoints in %s", save_dir)
+
+
+if __name__ == "__main__":
+    main()
