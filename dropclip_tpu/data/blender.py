@@ -1,0 +1,181 @@
+"""Raw MV-TOD (Blender) scene reader.
+
+Same on-disk format and output scene dict as the reference reader
+(reference data/blender.py:17-280): per scene directory,
+``image.{id}.rgb.{view}.png`` + ``image.{id}.raw_depth.{view}.exr`` +
+``image.{id}.iseg.{view}.png``, COCO annotations json (RLE -> binary
+masks, decoded by data.rle instead of pycocotools), camera poses json,
+object init/final metadata (hex color -> instance id), per-model concept
+json; intrinsics fx=fy=444.44*(base_scale/10), cx=319.5, cy=239.5 at
+640x480 (reference :180-187).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .rle import anno_to_mask
+
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+
+
+def binary_masks_to_seg(masks: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """(K, H, W) binary masks + (K,) ids -> (H, W) instance seg (later masks
+    overwrite earlier, reference utils/image.py:11-15)."""
+    seg = np.zeros(masks.shape[1:], ids.dtype)
+    for m, i in zip(masks, ids):
+        seg[m.astype(bool)] = i
+    return seg
+
+
+class BlenderDataset:
+    def __init__(self, root: str, models_root: Optional[str] = None,
+                 split: str = "train", grasp_root: Optional[str] = None):
+        self.root = root
+        self.split = split
+        self.models_root = models_root
+        self.grasp_root = grasp_root
+        split_dir = os.path.join(root, split)
+        self.scene_ids = sorted(
+            d for d in os.listdir(split_dir)
+            if os.path.isdir(os.path.join(split_dir, d)))
+
+        meta_path = os.path.join(root, "annos.meta.coco.json")
+        self.metadata = (json.load(open(meta_path))
+                         if os.path.exists(meta_path) else {"categories": []})
+        self.id_to_name = {0: "table",
+                           **{x["id"] + 1: x["name"]
+                              for x in self.metadata["categories"]}}
+        self.name_to_id = {v: k for k, v in self.id_to_name.items()}
+
+    def __len__(self) -> int:
+        return len(self.scene_ids)
+
+    @staticmethod
+    def read_rgb(path: str) -> np.ndarray:
+        import cv2
+
+        return np.ascontiguousarray(cv2.imread(path)[:, :, ::-1])
+
+    @staticmethod
+    def read_depth(path: str) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise IOError(f"cannot read depth {path}")
+        if img.ndim == 3:
+            img = img[:, :, 0]
+        return img.astype(np.float32)
+
+    @staticmethod
+    def obtain_seg_info(scene: Dict):
+        """Per-view (H, W) instance seg + per-view present ids (reference
+        data/blender.py:87-97)."""
+        col_to_ins = scene["col_to_ins"]
+        seg_masks, all_ids = [], []
+        for _, stuff in scene["views"].items():
+            _, masks, colors = zip(*stuff["annos"])
+            gids = [col_to_ins[c] for c in colors]
+            seg_masks.append(binary_masks_to_seg(np.stack(masks),
+                                                 np.asarray(gids)))
+            all_ids.append(gids)
+        return seg_masks, all_ids
+
+    def __getitem__(self, index: int) -> Dict:
+        data_root = os.path.join(self.root, self.split, f"{index:06d}")
+        rgb_files = sorted(glob.glob(
+            f"{data_root}/image.{index:06d}.rgb.*.png"))
+        depth_files = sorted(glob.glob(
+            f"{data_root}/image.{index:06d}.raw_depth.*.exr"))
+        seg_files = sorted(glob.glob(
+            f"{data_root}/image.{index:06d}.iseg.*.png"))
+
+        annos = json.load(open(f"{data_root}/annos.{index:06d}.coco.json"))
+        camera_poses = json.load(open(f"{data_root}/cameras.{index:06d}.json"))
+        objects_init = json.load(open(
+            f"{data_root}/objects.init.{index:06d}.json"))
+        objects_final = json.load(open(f"{data_root}/objects.{index:06d}.json"))
+
+        base_scale = objects_init[-1]["base_scale"]
+        camera_intrinsic = {
+            "height": 480, "width": 640,
+            "fx": 444.44444444 * (base_scale / 10),
+            "fy": 444.44444444 * (base_scale / 10),
+            "cx": 319.5, "cy": 239.5,
+        }
+
+        ins_dict: Dict[str, Dict] = {}
+        for obj_init, obj_final in zip(objects_init[:-1], objects_final):
+            hex_id = obj_init["color"]["hex"]
+            assert hex_id not in ins_dict
+            model_path = "/".join(obj_init["path"].split("/")[2:4])
+            concepts = ""
+            if self.models_root:
+                cpath = os.path.join(self.models_root, model_path,
+                                     "concept.json")
+                if os.path.exists(cpath):
+                    concepts = json.load(open(cpath))
+            ins_dict[hex_id] = {
+                "ins_id": len(ins_dict) + 1,  # 0 reserved for the table
+                "cls_name": obj_init["cls_name"],
+                "path": model_path,
+                "concepts": concepts,
+                "size": obj_final["size"],
+                "pose": obj_final["pose"],
+                "bbox": obj_final["bbox"],
+                "rotation": obj_final["rotation"],
+                "object_scale": obj_init.get("sim_scale"),
+            }
+
+        img_name_to_id = {x["file_name"]: x["id"] for x in annos["images"]}
+        scene: Dict = {"views": {}}
+        for rgb_f, depth_f, seg_f in zip(rgb_files, depth_files, seg_files):
+            assert (rgb_f.split(".")[-2] == depth_f.split(".")[-2]
+                    == seg_f.split(".")[-2])
+            view_id = rgb_f.split(".")[-2]
+            image_id = img_name_to_id[os.path.basename(rgb_f)]
+            rgb = self.read_rgb(rgb_f)
+            depth = self.read_depth(depth_f)
+            h, w, _ = rgb.shape
+            view_annos: List = []
+            for x in annos["annotations"]:
+                if x["image_id"] == image_id:
+                    m = anno_to_mask(x, h, w)
+                    hex_id = x["seg_color_hex"]
+                    view_annos.append([ins_dict[hex_id]["cls_name"], m, hex_id])
+            scene["views"][view_id] = {
+                "camera": camera_poses[view_id],
+                "annos": view_annos,
+                "rgb": rgb,
+                "depth": depth,
+                "imgpaths": rgb_f,
+            }
+
+        scene["objects_info"] = {
+            0: "table",
+            **{v["ins_id"]: {
+                "cls_name": v["cls_name"],
+                "concepts": (v["concepts"]["concepts"]
+                             if isinstance(v["concepts"], dict) else None),
+                "hex_id": k, "path": v["path"], "size": v["size"],
+                "pose": v["pose"], "bbox": v["bbox"],
+                "rotation": v["rotation"],
+            } for k, v in ins_dict.items()}}
+        scene["queries"] = {0: "table",
+                            **{v["ins_id"]: v["cls_name"]
+                               for v in ins_dict.values()}}
+        scene["col_to_ins"] = {"#000000": 0,
+                               **{k: v["ins_id"] for k, v in ins_dict.items()}}
+        scene["ins_to_cls"] = {
+            0: self.name_to_id.get("table", 0),
+            **{v["ins_id"]: self.name_to_id.get(v["cls_name"], 0)
+               for v in ins_dict.values()}}
+        scene["camera_intrinsic"] = camera_intrinsic
+        scene["world_scale"] = base_scale
+        return scene

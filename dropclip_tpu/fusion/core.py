@@ -199,7 +199,8 @@ def fuse_obj_prior(points: jnp.ndarray, depths: jnp.ndarray,
                    seg_masks: jnp.ndarray, camera_poses: jnp.ndarray,
                    obj_feats: jnp.ndarray, obj_present: jnp.ndarray,
                    query_embs: jnp.ndarray, K: jnp.ndarray,
-                   cfg: FusionConfig) -> FusedObjects:
+                   cfg: FusionConfig,
+                   obj_valid: Optional[jnp.ndarray] = None) -> FusedObjects:
     """Object-level fusion (reference fuse_obj_prior, feature_fusion.py:
     273-343).
 
@@ -209,8 +210,16 @@ def fuse_obj_prior(points: jnp.ndarray, depths: jnp.ndarray,
     ``np.unique(seg)[1:]`` membership). Weight of (obj, view):
     1 -> #pixels (use_visibility) -> relative-similarity kernel
     (use_similarity), exactly the reference's precedence (:317-331).
+
+    ``obj_valid`` (Q,) marks REAL object/query rows of a padded set (one
+    compiled program serves every scene regardless of object count);
+    padded rows/columns are excluded from the similarity min-max and the
+    negative sets, so results match the unpadded computation exactly.
     """
     v_views, q, _ = obj_feats.shape
+    if obj_valid is None:
+        obj_valid = jnp.ones((q,), dtype=bool)
+    obj_present = obj_present & obj_valid[None, :]
 
     # per-(view, object) weights
     def view_weight(feat_v, present_v, seg):
@@ -222,15 +231,16 @@ def fuse_obj_prior(points: jnp.ndarray, depths: jnp.ndarray,
         if cfg.use_similarity:
             featn = feat_v / jnp.linalg.norm(feat_v, axis=-1, keepdims=True)
             sim = featn.astype(jnp.float32) @ query_embs.T  # (Q, Q)
-            sim = _masked_minmax_2d(sim, present_v[:, None])
+            sim = _masked_minmax_2d(
+                sim, present_v[:, None] & obj_valid[None, :])
             pos = jnp.diagonal(sim)
-            others = jnp.where(jnp.eye(q, dtype=bool),
-                               -jnp.inf if cfg.sim_kernel == "max" else 0.0,
-                               sim)
+            excl = jnp.eye(q, dtype=bool) | ~obj_valid[None, :]
+            n_others = jnp.sum(obj_valid.astype(jnp.float32)) - 1.0
             if cfg.sim_kernel == "max":
-                ref = jnp.max(others, axis=-1)
+                ref = jnp.max(jnp.where(excl, -jnp.inf, sim), axis=-1)
             else:
-                ref = (jnp.sum(sim, -1) - pos) / jnp.maximum(q - 1, 1)
+                ref = (jnp.sum(jnp.where(excl, 0.0, sim), -1)
+                       / jnp.maximum(n_others, 1.0))
             wgt = jnp.where(present_v, jnp.clip(pos - ref, cfg.eps, None), 0.0)
         return wgt
 

@@ -71,7 +71,7 @@ def _neighbor_map(level: SparseLevel, offsets: np.ndarray, bits: int) -> jnp.nda
     nbr = level.coords[None, :, :] + jnp.asarray(offsets)[:, None, :]
     nbr_keys = ravel_grid_coords(nbr, bits=bits,
                                  valid=jnp.broadcast_to(level.mask, nbr.shape[:2]))
-    idx = jnp.searchsorted(level.keys, nbr_keys).astype(jnp.int32)
+    idx = jnp.searchsorted(level.keys, nbr_keys, method="sort").astype(jnp.int32)
     idx_c = jnp.clip(idx, 0, m - 1)
     found = (nbr_keys != INVALID_KEY) & (jnp.take(level.keys, idx_c) == nbr_keys)
     return jnp.where(found, idx_c, m)
@@ -113,14 +113,14 @@ def _downsample_level(level: SparseLevel, capacity: int, bits: int
              + jnp.asarray(kernel_offsets(2))[:, None, :])
     child_keys = ravel_grid_coords(child, bits=bits,
                                    valid=jnp.broadcast_to(coarse_mask, child.shape[:2]))
-    idx = jnp.searchsorted(level.keys, child_keys).astype(jnp.int32)
+    idx = jnp.searchsorted(level.keys, child_keys, method="sort").astype(jnp.int32)
     idx_c = jnp.clip(idx, 0, mf - 1)
     found = (child_keys != INVALID_KEY) & (jnp.take(level.keys, idx_c) == child_keys)
     down_map = jnp.where(found, idx_c, mf)
 
     # transposed-conv map: each fine voxel's parent row + offset id.
     mc = capacity
-    pidx = jnp.searchsorted(coarse_keys, parent_keys).astype(jnp.int32)
+    pidx = jnp.searchsorted(coarse_keys, parent_keys, method="sort").astype(jnp.int32)
     pidx_c = jnp.clip(pidx, 0, mc - 1)
     pfound = (parent_keys != INVALID_KEY) & (jnp.take(coarse_keys, pidx_c) == parent_keys)
     up_parent = jnp.where(pfound, pidx_c, mc)
@@ -175,12 +175,20 @@ def build_unet_topology(
     Args:
       coords: (B, M, 3) or (M, 3) int32 voxel coords at stride 1.
       mask: matching (B, M) or (M,) occupancy.
-      capacities: per-level max voxel counts; defaults to M at every level
-        (downsampling never increases counts, so this can't overflow).
+      capacities: per-level max voxel counts. Default halves per level
+        (min 64): surface-like scenes lose >=2x voxels per stride-2
+        halving, and compute at level l scales with its capacity, so
+        full-size buffers at coarse levels would waste most of the UNet's
+        FLOPs/gather traffic. Capacity overflow drops the highest-key
+        voxels (masked, not UB) — pass explicit capacities if a scene is
+        denser than surface-like.
     """
     batched = coords.ndim == 3
     m = coords.shape[-2]
-    caps = tuple(capacities) if capacities is not None else (m,) * num_levels
+    if capacities is not None:
+        caps = tuple(capacities)
+    else:
+        caps = tuple(max(m >> l, min(m, 64)) for l in range(num_levels))
     assert len(caps) == num_levels
     assert caps[0] == m, "level-0 capacity must equal the input point dim"
     fn = lambda c, k: _build_single(c, k, num_levels=num_levels,

@@ -306,6 +306,12 @@ CLIP_CONFIGS = {
                            context_length=77, vocab_size=49408,
                            transformer_width=768, transformer_heads=12,
                            transformer_layers=12),
+    # random-weights smoke config for pipeline tests (not a real teacher)
+    "tiny-test": dict(embed_dim=16, image_resolution=32, vision_layers=2,
+                      vision_width=64, vision_patch_size=16,
+                      context_length=77, vocab_size=49408,
+                      transformer_width=32, transformer_heads=4,
+                      transformer_layers=2),
 }
 
 

@@ -246,5 +246,8 @@ def build_prompts(
                 prompts.append(resize_image(comp, out_hw))
         return jnp.stack(prompts)  # (L, oh, ow, 3)
 
-    batch = jax.vmap(per_object)(masks)  # (K, L, oh, ow, 3), 0..255
+    # sequential over objects: the per-object bicubic tap tensors are
+    # ~30 MB each, so a vmap would materialize K x that (OOM at K=32);
+    # lax.map keeps one object's working set live while XLA pipelines.
+    batch = jax.lax.map(per_object, masks)  # (K, L, oh, ow, 3), 0..255
     return normalize(batch / 255.0, mean, std)

@@ -1,0 +1,240 @@
+"""Offline ingest: raw multi-view scenes -> fused per-object features -> h5.
+
+The reference's throughput-critical pipeline (reference
+tools/preprocess_data.py:152-332 ``preprocess_blender_views``): aggregate
+73 RGB-D views into a voxel cloud, run the CLIP teacher per (view, object)
+with crop-mask visual prompts, build text-query embeddings, fuse
+object-level features across views (visibility + relative-similarity
+weights), replace never-seen objects' NaN rows with their text embedding,
+and write the processed-scene h5. Idempotent per scene (existing outputs
+are skipped, reference :192-199).
+
+TPU-native: aggregation, prompting, CLIP forwards, and fusion are all
+jitted device programs; the host only decodes files and writes h5.
+
+Usage:
+  python -m dropclip_tpu.tools.preprocess_data -ds Blender -r RAW_ROOT \
+      -c OUT_DIR --split train --clip-checkpoint clip.pt [--start 0 --end 100]
+  python -m dropclip_tpu.tools.preprocess_data -ds Synthetic -c OUT_DIR \
+      --n-scenes 4      # tiny random-weights smoke pipeline, no data needed
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+import jax
+
+from ..data.queries import prepare_fusion_queries
+from ..data.scene_io import write_scene
+from ..fusion.core import FusionConfig, fuse_obj_prior
+from ..geom.aggregate import aggregate_views
+from ..teachers.extractor import ClipExtractor
+
+# jit at the tool level: one compiled program per static (shape, config)
+_agg_jit = jax.jit(aggregate_views, static_argnames=(
+    "voxel_size", "capacity", "num_labels", "depth_trunc", "bits"))
+_fuse_jit = jax.jit(fuse_obj_prior, static_argnames=("cfg",))
+
+
+def embed_fusion_queries(extractor: ClipExtractor, obj_info: Dict,
+                         scenario: str = "open") -> jnp.ndarray:
+    """{0: table, objects...} -> (Q, C) normalized mean-pooled embeddings
+    (reference preprocess_data.py:252-265)."""
+    queries = {0: ["table"],
+               **prepare_fusion_queries(
+                   {k: v for k, v in obj_info.items() if k > 0}, scenario)}
+    embs = []
+    for k in sorted(queries):
+        e = extractor.encode_text(queries[k])
+        embs.append(jnp.mean(e, axis=0))
+    q = jnp.stack(embs)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
+                  poses: np.ndarray, K: np.ndarray, obj_info: Dict,
+                  extractor: ClipExtractor, out_path: str,
+                  voxel_size: float, cloud_capacity: int = 65536,
+                  max_objects: int = 32,
+                  eval_scenario: str = "open", sim_kernel: str = "max",
+                  use_visibility: bool = False, use_similarity: bool = True,
+                  vis_threshold: float = 0.05) -> Dict:
+    """One scene end-to-end; returns timing/stat dict.
+
+    Every device program runs at STATIC shapes — the cloud stays padded to
+    ``cloud_capacity`` and objects/queries are padded to ``max_objects``
+    (masked via fuse_obj_prior's obj_valid) — so scene 2..N reuse scene 1's
+    compilations regardless of point/object counts.
+    """
+    t0 = time.time()
+    n_real = max(int(k) for k in obj_info) + 1  # incl. table id 0
+    assert n_real <= max_objects, (n_real, max_objects)
+    h, w = depths.shape[1:]
+
+    # 1) aggregate views -> labeled voxel cloud (geometry.py:120-204)
+    xyz, rgb, labels, mask = _agg_jit(
+        jnp.asarray(depths), jnp.asarray(images, jnp.float32) / 255.0,
+        jnp.asarray(segs), jnp.asarray(poses), jnp.asarray(K),
+        voxel_size=voxel_size, capacity=cloud_capacity,
+        num_labels=max_objects)
+    keep = np.asarray(mask) & (np.asarray(labels) != 0)  # drop table+pad
+    t_agg = time.time() - t0
+
+    # 2) per-(view, object) teacher features with visual prompts
+    t0 = time.time()
+    obj_feats, present = extractor.extract_obj_prior(
+        images, segs, obj_ids=np.arange(max_objects))
+    t_clip = time.time() - t0
+
+    # 3) text queries + object-level fusion (padded cloud + padded objects)
+    t0 = time.time()
+    q_real = embed_fusion_queries(extractor, obj_info, eval_scenario)
+    feat_dim = q_real.shape[-1]
+    query_embs = jnp.zeros((max_objects, feat_dim), jnp.float32
+                           ).at[:n_real].set(q_real)
+    obj_valid = jnp.arange(max_objects) < n_real
+    cfg = FusionConfig(image_hw=(h, w), visibility_threshold=vis_threshold,
+                       use_visibility=use_visibility,
+                       use_similarity=use_similarity, sim_kernel=sim_kernel)
+    fused = _fuse_jit(xyz, jnp.asarray(depths), jnp.asarray(segs),
+                           jnp.asarray(poses), obj_feats, present,
+                           query_embs, jnp.asarray(K), cfg,
+                           obj_valid=obj_valid)
+    obj_out = np.array(fused.obj_features[:n_real])
+    # NaN objects (never fused) -> their text embedding (reference :277-282)
+    nan_rows = np.any(np.isnan(obj_out), axis=-1)
+    obj_out[nan_rows] = np.asarray(q_real)[nan_rows]
+
+    # final host-side compaction: padded/table rows out, plus points
+    # invisible in every view (reference fuse_obj_prior :278-283)
+    sel = keep & np.asarray(fused.visible)
+    vis_mask = np.asarray(fused.visibility)[:, sel]
+    t_fuse = time.time() - t0
+
+    write_scene(out_path, xyz=np.asarray(xyz)[sel], rgb=np.asarray(rgb)[sel],
+                label=np.asarray(labels)[sel], vis_mask=vis_mask,
+                obj_feats=obj_out, objects_info=obj_info)
+    return {"points": int(sel.sum()), "objects": n_real,
+            "nan_objects": int(nan_rows.sum()), "t_aggregate": t_agg,
+            "t_teacher": t_clip, "t_fuse": t_fuse}
+
+
+def build_extractor(args) -> ClipExtractor:
+    from ..teachers.clip import build_clip
+
+    model = build_clip(args.clip_model, dtype=jnp.bfloat16)
+    if args.clip_checkpoint:
+        from ..teachers.convert import load_params
+
+        variables = {"params": load_params(args.clip_checkpoint)}
+    else:
+        import jax
+
+        print("WARNING: no --clip-checkpoint; using RANDOM teacher weights "
+              "(pipeline smoke mode)")
+        px = jnp.zeros((1, 336, 448, 3), jnp.float32)
+        toks = jnp.zeros((1, 77), jnp.int32)
+        variables = jax.jit(lambda p, t: model.init(
+            jax.random.PRNGKey(0), p, t))(px, toks)
+    return ClipExtractor(model, variables, mode="cls",
+                         visual_prompt=args.visual_prompt.split(","),
+                         crop_num_levels=args.crop_num_levels,
+                         crop_expansion_ratio=args.crop_expansion_ratio,
+                         img_resize=(336, 448), batch_size=args.batch_size)
+
+
+def run_blender(args) -> None:
+    from ..data.blender import BlenderDataset
+
+    dataset = BlenderDataset(args.root, models_root=args.models_root,
+                             split=args.split)
+    extractor = build_extractor(args)
+    os.makedirs(args.out, exist_ok=True)
+    end = args.end if args.end >= 0 else len(dataset.scene_ids) - 1
+    for sid in range(args.start, end + 1):
+        scene_id = f"{sid:06d}"
+        out_path = os.path.join(args.out, args.split, scene_id,
+                                f"{scene_id}.h5py")
+        if os.path.isfile(out_path):
+            print(f"skip {scene_id}: exists")
+            continue
+        if scene_id not in dataset.scene_ids:
+            continue
+        scene = dataset[sid]
+        segs, _ = BlenderDataset.obtain_seg_info(scene)
+        views = list(scene["views"].values())
+        stats = process_scene(
+            images=np.stack([v["rgb"] for v in views]),
+            depths=np.stack([v["depth"] for v in views]),
+            segs=np.stack(segs),
+            poses=np.stack([np.asarray(v["camera"]["world_matrix"],
+                                       np.float32) for v in views]),
+            K=_intrinsic_matrix(scene["camera_intrinsic"]),
+            obj_info=scene["objects_info"], extractor=extractor,
+            out_path=out_path,
+            voxel_size=args.voxel_size * scene["world_scale"])
+        print(f"{scene_id}: {stats}")
+
+
+def run_synthetic(args) -> None:
+    """Full-pipeline smoke run on procedurally generated raw scenes."""
+    from ..data.synthetic import make_raw_scene
+
+    extractor = build_extractor(args)
+    rng = np.random.default_rng(0)
+    for sid in range(args.n_scenes):
+        scene_id = f"{sid:06d}"
+        out_path = os.path.join(args.out, args.split, scene_id,
+                                f"{scene_id}.h5py")
+        raw = make_raw_scene(rng, n_objects=3, n_views=args.n_views)
+        info = {k: (v if k > 0 else "table")
+                for k, v in raw["objects_info"].items()}
+        stats = process_scene(
+            images=raw["images"], depths=raw["depths"], segs=raw["segs"],
+            poses=raw["poses"], K=raw["K"], obj_info=raw["objects_info"],
+            extractor=extractor, out_path=out_path,
+            voxel_size=args.voxel_size, cloud_capacity=4096)
+        print(f"{scene_id}: {stats}")
+
+
+def _intrinsic_matrix(ci: Dict) -> np.ndarray:
+    return np.array([[ci["fx"], 0, ci["cx"]], [0, ci["fy"], ci["cy"]],
+                     [0, 0, 1]], np.float32)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser("dropclip_tpu offline ingest")
+    p.add_argument("-ds", "--dataset", choices=["Blender", "Synthetic"],
+                   required=True)
+    p.add_argument("-r", "--root", default=None, help="raw dataset root")
+    p.add_argument("-c", "--out", required=True, help="processed output dir")
+    p.add_argument("--models-root", default=None)
+    p.add_argument("--split", default="train")
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=-1)
+    p.add_argument("--voxel-size", type=float, default=0.02)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--clip-model", default="ViT-L/14@336px")
+    p.add_argument("--clip-checkpoint", default=None)
+    p.add_argument("--visual-prompt", default="crop-mask")
+    p.add_argument("--crop-num-levels", type=int, default=1)
+    p.add_argument("--crop-expansion-ratio", type=float, default=0.15)
+    p.add_argument("--n-scenes", type=int, default=4, help="synthetic only")
+    p.add_argument("--n-views", type=int, default=4, help="synthetic only")
+    args = p.parse_args()
+    if args.dataset == "Blender":
+        assert args.root, "-r/--root required for Blender"
+        run_blender(args)
+    else:
+        run_synthetic(args)
+
+
+if __name__ == "__main__":
+    main()

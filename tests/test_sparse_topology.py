@@ -52,7 +52,10 @@ def test_k3_neighbor_map_bruteforce(rng):
 def test_downsample_coords_are_floor_halved(rng):
     cap = 128
     coords, mask = make_coords(rng, 100, cap)
-    topo = build_unet_topology(coords, mask, num_levels=3)
+    # random coords barely dedup when halved -> give every level full
+    # capacity (the halving default is for surface-like scenes)
+    topo = build_unet_topology(coords, mask, num_levels=3,
+                               capacities=(cap, cap, cap))
     fine = np.asarray(topo.levels[0].coords)[np.asarray(topo.levels[0].mask)]
     expect = {tuple(c) for c in (fine >> 1)}
     coarse = np.asarray(topo.levels[1].coords)[np.asarray(topo.levels[1].mask)]
