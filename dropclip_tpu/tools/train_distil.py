@@ -64,16 +64,24 @@ def to_batch(b, mesh) -> DistilBatch:
 
 def make_clip_sim(cfg):
     """Text encoder for grounding eval; None when no checkpoint is given
-    (synthetic/dev runs — val then reports distil loss only)."""
+    (synthetic/dev runs — val then reports distil loss only).
+    ``clip_checkpoint: random`` builds random weights (pipeline smoke)."""
     if not cfg.clip_checkpoint:
         return None
     from ..similarity import ClipSimilarity
     from ..teachers.clip import build_clip
-    from ..teachers.convert import load_params
 
     model = build_clip(cfg.clip_model or "ViT-L/14@336px", dtype=jnp.bfloat16)
-    params = load_params(cfg.clip_checkpoint)
-    return ClipSimilarity(model, {"params": params},
+    if cfg.clip_checkpoint == "random":
+        px = jnp.zeros((1, model.image_resolution, model.image_resolution, 3))
+        toks = jnp.zeros((1, model.context_length), jnp.int32)
+        variables = jax.jit(lambda p, t: model.init(
+            jax.random.PRNGKey(0), p, t))(px, toks)
+    else:
+        from ..teachers.convert import load_params
+
+        variables = {"params": load_params(cfg.clip_checkpoint)}
+    return ClipSimilarity(model, variables,
                           method=cfg.sim_method or "paired",
                           threshold=float(cfg.sim_norm_thresh or 0.7))
 
