@@ -28,11 +28,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dropclip_tpu.sparse.topology import build_unet_topology
-    from dropclip_tpu.sparse.unet import MinkUNet, UNET_ARCHS
+    from dropclip_tpu.sparse.bricks import build_brick_topology
+    from dropclip_tpu.sparse.unet import UNET_ARCHS
+    from dropclip_tpu.sparse.unet_bricks import MinkUNetBricks
 
     block, layers, planes = UNET_ARCHS["MinkUNet14D"]
-    model = MinkUNet(out_channels=768, block=block, layers=layers, planes=planes)
+    model = MinkUNetBricks(out_channels=768, block=block, layers=layers,
+                           planes=planes)
 
     # BENCH_SMOKE=1: tiny shapes for a CPU logic check (not a benchmark).
     smoke = os.environ.get("BENCH_SMOKE") == "1"
@@ -40,9 +42,24 @@ def main():
     rng = np.random.RandomState(0)
     coords_list, mask_list = [], []
     n_occ = 128 if smoke else 6000  # ~MAX_POINTS=10000 pts after voxel dedup
+    ext = 8 if smoke else 40        # tabletop ~±40 voxels at 5 cm (SURVEY §6)
     for _ in range(b):
-        pts = rng.randint(-40, 40, size=(3 * n_occ, 3)).astype(np.int32)
-        uniq = np.unique(pts, axis=0)[:n_occ]
+        # surface-like scene: table plane + object shells (matches the
+        # brick clustering of real MV-TOD clouds)
+        xy = rng.randint(-ext, ext, size=(3 * n_occ, 2))
+        z = rng.randint(0, 2, size=(3 * n_occ, 1))
+        plane = np.concatenate([xy, z], axis=1)
+        blobs = []
+        for _ in range(6):
+            c = rng.randint(-ext + 6, ext - 6, size=3)
+            c[2] = rng.randint(2, 8)
+            th = rng.randn(n_occ // 4, 3)
+            th /= np.linalg.norm(th, axis=1, keepdims=True)
+            blobs.append((c + th * rng.randint(3, 6)).astype(int))
+        pts = np.concatenate([plane] + blobs).astype(np.int32)
+        uniq = np.unique(pts, axis=0)
+        rng.shuffle(uniq)
+        uniq = uniq[:n_occ]
         coords = np.zeros((m, 3), np.int32)
         coords[: len(uniq)] = uniq
         mask = np.zeros((m,), bool)
@@ -54,32 +71,44 @@ def main():
     feats = (jnp.asarray(rng.randn(b, m, 6).astype(np.float32))
              * mask[..., None]).astype(jnp.bfloat16)
 
-    topo0 = build_unet_topology(coords, mask)
+    topo0 = build_brick_topology(coords, mask)
     variables = jax.jit(
         lambda t, f: model.init(jax.random.PRNGKey(0), t, f, train=False)
     )(topo0, feats)
 
     # Params as an argument, not a closure constant (compile-time blowup).
-    # The jitted step returns a scalar checksum alongside the features:
-    # fetching it to host is the only reliable sync point (on tunneled TPU
-    # runtimes block_until_ready can ack before execution finishes).
+    # The jitted step CHAINS several forwards with a data dependency and
+    # returns a scalar checksum: fetching it to host is the only reliable
+    # sync point (on tunneled TPU runtimes block_until_ready can ack
+    # before execution finishes), and chaining amortizes the host-fetch
+    # round trip out of the per-forward time.
+    reps = 1 if smoke else 5
+
     @jax.jit
     def forward(variables, coords, mask, feats):
-        topo = build_unet_topology(coords, mask)
-        out = model.apply(variables, topo, feats, train=False)
-        return jnp.sum(out.astype(jnp.float32))
+        def body(carry, _):
+            f, acc = carry
+            topo = build_brick_topology(coords, mask)
+            out = model.apply(variables, topo, f, train=False)
+            s = jnp.sum(out.astype(jnp.float32))
+            # data dependency between reps (prevents CSE/elision)
+            return (f + (s * 1e-30).astype(f.dtype), acc + s), None
+
+        (_, acc), _ = jax.lax.scan(body, (feats, jnp.float32(0.0)), None,
+                                   length=reps)
+        return acc
 
     # compile + warmup (host fetch forces full execution)
     float(forward(variables, coords, mask, feats))
     float(forward(variables, coords, mask, feats))
 
-    iters = 3 if smoke else 20
+    iters = 3 if smoke else 10
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         float(forward(variables, coords, mask, feats))
         times.append(time.perf_counter() - t0)
-    p50 = float(np.median(times))
+    p50 = float(np.median(times)) / reps
     scenes_per_sec = b / p50
 
     print(json.dumps({

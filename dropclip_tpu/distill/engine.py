@@ -17,10 +17,33 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..sparse.bricks import build_brick_topology
 from ..sparse.topology import build_unet_topology
 from .loss import (aux_hinge_loss, cosine_distil_loss, cross_entropy_cls_loss,
                    l1_distil_loss)
 from .train_state import DistilTrainState
+
+
+def build_topology(cfg, coords, mask):
+    """Backend dispatch: 'bricks' (default, brick-dense engine — the fast
+    TPU path) or 'gather' (per-voxel kernel maps — the reference-parity
+    baseline). Both UNets share parameter trees (tests/test_unet_bricks)."""
+    backend = cfg.sparse_backend or "bricks"
+    num_levels = int(cfg.num_levels or 5)
+    if backend == "bricks":
+        return build_brick_topology(coords, mask, num_levels=num_levels)
+    return build_unet_topology(coords, mask, num_levels=num_levels)
+
+
+def build_student_for(cfg):
+    """Student factory honoring cfg.sparse_backend."""
+    if (cfg.sparse_backend or "bricks") == "bricks":
+        from ..sparse.unet_bricks import build_student_bricks
+
+        return build_student_bricks(cfg)
+    from ..sparse.unet import build_student
+
+    return build_student(cfg)
 
 
 class DistilBatch(NamedTuple):
@@ -82,12 +105,9 @@ def make_train_step(cfg):
 
     jit-compatible; shard ``batch`` on the data axis for multi-chip DP.
     """
-    num_levels = int(cfg.num_levels or 5)
-
     def train_step(state: DistilTrainState, batch: DistilBatch,
                    dropout_rng: Optional[jax.Array] = None):
-        topo = build_unet_topology(batch.coords, batch.mask,
-                                   num_levels=num_levels)
+        topo = build_topology(cfg, batch.coords, batch.mask)
 
         def loss_fn(params):
             rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
@@ -109,11 +129,8 @@ def make_train_step(cfg):
 
 def make_eval_step(cfg):
     """Returns eval_step(state, batch) -> (out_features, metrics)."""
-    num_levels = int(cfg.num_levels or 5)
-
     def eval_step(state: DistilTrainState, batch: DistilBatch):
-        topo = build_unet_topology(batch.coords, batch.mask,
-                                   num_levels=num_levels)
+        topo = build_topology(cfg, batch.coords, batch.mask)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             topo, batch.in_feats, train=False)

@@ -122,3 +122,63 @@ def average_cosine_distance(out: jnp.ndarray, targets: jnp.ndarray,
                             mask: jnp.ndarray) -> jnp.ndarray:
     """Eval-side alias of the cosine loss (reference models/distil/loss.py:104-123)."""
     return cosine_distil_loss(out, targets, mask)
+
+
+def supervised_contrastive_loss(features: jnp.ndarray, labels: jnp.ndarray,
+                                mask: jnp.ndarray, temperature: float = 0.07,
+                                base_temperature: float = 0.07) -> jnp.ndarray:
+    """SupCon over labeled points (reference models/distil/loss.py:4-56,
+    Khosla et al. 2020), masked for padded rows.
+
+    features: (K, C); labels: (K,); mask: (K,) validity. Anchors with no
+    positives contribute 0 (the reference divides by 0 there — NaN; fixed
+    here since padded buffers make empty-positive anchors routine).
+    """
+    f32 = jnp.where(mask[:, None], features.astype(jnp.float32), 1.0)
+    fhat = f32 / jnp.maximum(
+        jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12)
+
+    k = labels.shape[0]
+    valid_pair = mask[:, None] & mask[None, :]
+    eye = jnp.eye(k, dtype=bool)
+    pos_mask = (labels[:, None] == labels[None, :]) & ~eye & valid_pair
+    logits_mask = ~eye & valid_pair
+
+    logits = (fhat @ fhat.T) / temperature
+    logits = logits - jax.lax.stop_gradient(
+        jnp.max(jnp.where(valid_pair, logits, -jnp.inf), axis=1,
+                keepdims=True))
+    exp_logits = jnp.exp(logits) * logits_mask
+    log_prob = logits - jnp.log(jnp.maximum(
+        jnp.sum(exp_logits, axis=1, keepdims=True), 1e-12))
+
+    n_pos = jnp.sum(pos_mask, axis=1)
+    mean_log_prob = jnp.sum(pos_mask * log_prob, axis=1) / jnp.maximum(n_pos, 1)
+    per_anchor = -(temperature / base_temperature) * mean_log_prob
+    w = (mask & (n_pos > 0)).astype(jnp.float32)
+    return jnp.sum(per_anchor * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def triplet_kl_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
+                    negative: jnp.ndarray, margin: float = 1.0,
+                    mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Triplet loss over softmax distributions with KL divergence
+    (reference models/distil/loss.py:60-101): relu(KL(a‖p) - KL(a‖n) + m).
+
+    Note: mirrors the reference's argument order to F.kl_div — the 'input'
+    is the anchor log-distribution, so KL(target ‖ anchor) in math terms.
+    """
+    a = jax.nn.softmax(anchor.astype(jnp.float32), axis=1)
+    p = jax.nn.softmax(positive.astype(jnp.float32), axis=1)
+    n = jax.nn.softmax(negative.astype(jnp.float32), axis=1)
+    log_a = jnp.log(jnp.maximum(a, 1e-30))
+
+    def kl(target):
+        t = jnp.maximum(target, 1e-30)
+        return jnp.sum(target * (jnp.log(t) - log_a), axis=1)
+
+    losses = jax.nn.relu(kl(p) - kl(n) + margin)
+    if mask is not None:
+        w = mask.astype(jnp.float32)
+        return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.mean(losses)

@@ -1,0 +1,352 @@
+"""Brick-dense sparse-voxel engine — the TPU-native sparse convolution.
+
+MinkowskiEngine's per-voxel kernel maps (gather-GEMM-scatter) are a GPU
+design: on TPU, row gathers run ~30 GB/s while brick-granular gathers run
+at memory speed (~1.8 TB/s measured) and XLA's dense 3D convolution hits
+MXU peak (148 TFLOP/s measured on 6^3 halos). So this engine stores the
+voxel set as occupied 4^3 BRICKS:
+
+- features live dense per brick: (Bm, 4, 4, 4, C) with a voxel-occupancy
+  mask (absent voxels hold zeros -> submanifold semantics fall out);
+- stride-1 k3/k5 convs = halo exchange (27 whole-brick gathers + static
+  slice writes) + ``lax.conv`` VALID over the (4+2p)^3 halo;
+- stride-2 down conv = assemble each coarse brick's 2x2x2 fine-brick
+  group (8 gathers) + ``lax.conv`` stride 2;
+- transposed k2s2 = per-coarse-brick upsample einsum + parent-brick
+  gather + octant selection;
+- topology is brick-level only: a handful of searchsorted calls over
+  ~hundreds of bricks instead of 27 x M voxels.
+
+Numerical contract: identical outputs to ops.sparse_conv /
+ops.sparse_conv_transpose on the same voxel set (tested), i.e. the same
+semantics as ME's MinkowskiConvolution[Transpose] (reference
+models/distil/minkunet.py:49-126).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom.voxelize import INVALID_KEY, ravel_grid_coords, unravel_key
+
+BS = 4          # brick edge (voxels)
+BV = BS ** 3    # voxels per brick
+
+
+class BrickLevel(NamedTuple):
+    coords: jnp.ndarray  # (Bm, 3) int32 brick grid coords, cell-ascending
+    keys: jnp.ndarray    # (Bm,) int32 dense cell ids (guard on padding)
+    mask: jnp.ndarray    # (Bm,) bool occupied brick
+    occ: jnp.ndarray     # (Bm, 4, 4, 4) bool voxel occupancy
+    nbr: jnp.ndarray     # (Bm, 27) int32 neighbor brick rows (miss -> Bm)
+
+
+class BrickTopology(NamedTuple):
+    """Index structure for one UNet forward over brick levels."""
+
+    levels: Tuple[BrickLevel, ...]
+    point_row: jnp.ndarray     # (M,) level-0 brick row per voxel (pad -> Bm0)
+    point_within: jnp.ndarray  # (M,) level-0 within-brick flat offset [0,64)
+    group_maps: Tuple[jnp.ndarray, ...]   # (Bm_{l+1}, 8) fine-brick rows
+    parent_maps: Tuple[jnp.ndarray, ...]  # (Bm_l,) coarse-brick row per fine
+    octants: Tuple[jnp.ndarray, ...]      # (Bm_l, 3) fine brick & 1
+
+
+_NBR_OFFSETS = np.array(
+    [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)], np.int32)  # lexicographic, matches kernel_offsets(3)
+
+
+class _GridLevel(NamedTuple):
+    """One level's brick set derived from a dense cell grid.
+
+    TPU sorts/searchsorted are slow (190 ms for (8, 8192) int32!), so
+    brick identification uses a DENSE boolean grid over the (small,
+    bounded) brick-coordinate box instead: scatter occupancy, cumsum for
+    rank, O(1) gather lookups everywhere.
+    """
+
+    level: BrickLevel
+    row_table: jnp.ndarray  # (g^3 + 1,) cell -> brick row (guard -> cap)
+    g: int                  # grid edge (bricks per axis)
+    bias: int
+
+
+def _grid_level(cells_src: jnp.ndarray, capacity: int, g: int,
+                bias: int) -> _GridLevel:
+    """cells_src: (N,) dense cell ids of occupied bricks (guard g^3 for
+    invalid) -> brick level (occ filled later)."""
+    n_cells = g ** 3
+    occ_cell = jnp.zeros((n_cells + 1,), bool).at[cells_src].set(True)[:-1]
+    rank = jnp.cumsum(occ_cell.astype(jnp.int32)) - 1
+    n = rank[-1] + 1
+    row_table = jnp.where(occ_cell & (rank < capacity), rank, capacity)
+    row_table = jnp.concatenate(
+        [row_table, jnp.full((1,), capacity, jnp.int32)])  # guard cell
+
+    cell_ids = jnp.arange(n_cells, dtype=jnp.int32)
+    brick_cell = jnp.zeros((capacity + 1,), jnp.int32).at[
+        row_table[:-1]].set(cell_ids, mode="drop")[:capacity]
+    bmask = jnp.arange(capacity) < jnp.minimum(n, capacity)
+    cx = brick_cell // (g * g)
+    cy = (brick_cell // g) % g
+    cz = brick_cell % g
+    coords = jnp.stack([cx, cy, cz], -1) - bias
+    coords = jnp.where(bmask[:, None], coords, 0)
+
+    # 27-neighborhood brick rows
+    nbc = coords[:, None, :] + bias + jnp.asarray(_NBR_OFFSETS)[None, :, :]
+    ok = jnp.all((nbc >= 0) & (nbc < g), -1) & bmask[:, None]
+    ncell = (nbc[..., 0] * g + nbc[..., 1]) * g + nbc[..., 2]
+    nbr = row_table[jnp.where(ok, ncell, n_cells)]
+
+    lvl = BrickLevel(coords=coords, keys=brick_cell, mask=bmask,
+                     occ=jnp.zeros((capacity, BS, BS, BS), bool), nbr=nbr)
+    return _GridLevel(level=lvl, row_table=row_table, g=g, bias=bias)
+
+
+def _cells_of(bcoords: jnp.ndarray, valid: jnp.ndarray, g: int,
+              bias: int) -> jnp.ndarray:
+    bc = bcoords + bias
+    ok = valid & jnp.all((bc >= 0) & (bc < g), -1)
+    cell = (bc[..., 0] * g + bc[..., 1]) * g + bc[..., 2]
+    return jnp.where(ok, cell, g ** 3)
+
+
+@partial(jax.jit, static_argnames=("num_levels", "grid_bits", "capacities"))
+def _build_single(coords: jnp.ndarray, mask: jnp.ndarray, num_levels: int,
+                  grid_bits: int, capacities: Tuple[int, ...]) -> BrickTopology:
+    g0 = 1 << grid_bits
+
+    levels, grids = [], []
+    group_maps, parent_maps, octants = [], [], []
+    offs8 = jnp.asarray([(i, j, k) for i in (0, 1) for j in (0, 1)
+                         for k in (0, 1)], jnp.int32)
+
+    for l in range(num_levels):
+        g = max(g0 >> l, 2)
+        bias = g // 2
+        cap = capacities[l]
+        if l == 0:
+            bcoord = coords >> 2
+            cells = _cells_of(bcoord, mask, g, bias)
+            gl = _grid_level(cells, cap, g, bias)
+            row0 = gl.row_table[cells]
+            w = coords & (BS - 1)
+            w0 = (w[:, 0] * BS + w[:, 1]) * BS + w[:, 2]
+            w0 = jnp.where(mask & (row0 < cap), w0, 0)
+            dst = jnp.where(mask & (row0 < cap), row0 * BV + w0, cap * BV)
+            occ = jnp.zeros((cap * BV + 1,), bool).at[dst].set(True)
+            occ = occ[:-1].reshape(cap, BS, BS, BS)
+            gl = gl._replace(level=gl.level._replace(occ=occ))
+        else:
+            fine_gl = grids[-1]
+            fine = levels[-1]
+            fcells = _cells_of(fine.coords >> 1, fine.mask, g, bias)
+            gl = _grid_level(fcells, cap, g, bias)
+            # parent map + octant per fine brick
+            parent_maps.append(gl.row_table[fcells])
+            octants.append(jnp.where(fine.mask[:, None], fine.coords & 1, 0))
+            # group map: coarse brick -> 2x2x2 fine bricks (rows in fine)
+            child = gl.level.coords[:, None, :] * 2 + offs8[None, :, :]
+            ccells = _cells_of(child, gl.level.mask[:, None], fine_gl.g,
+                               fine_gl.bias)
+            gmap = fine_gl.row_table[ccells]
+            group_maps.append(gmap)
+            # coarse voxel occupancy: any of the 8 children occupied
+            occ_pad = jnp.concatenate(
+                [fine.occ, jnp.zeros((1, BS, BS, BS), bool)], axis=0)
+            grp = occ_pad[gmap].reshape(cap, 2, 2, 2, BS, BS, BS)
+            grp = grp.transpose(0, 1, 4, 2, 5, 3, 6).reshape(cap, 8, 8, 8)
+            cocc = grp.reshape(cap, 4, 2, 4, 2, 4, 2).any(axis=(2, 4, 6))
+            gl = gl._replace(level=gl.level._replace(
+                occ=cocc & gl.level.mask[:, None, None, None]))
+        levels.append(gl.level)
+        grids.append(gl)
+
+    return BrickTopology(levels=tuple(levels), point_row=row0,
+                         point_within=w0, group_maps=tuple(group_maps),
+                         parent_maps=tuple(parent_maps),
+                         octants=tuple(octants))
+
+
+def build_brick_topology(coords: jnp.ndarray, mask: jnp.ndarray,
+                         num_levels: int = 5, grid_bits: int = 5,
+                         brick_capacities: Optional[Sequence[int]] = None,
+                         bits: Optional[int] = None) -> BrickTopology:
+    """Voxel coords (B, M, 3)/(M, 3) -> brick topology pyramid.
+
+    ``grid_bits``: bricks per axis = 2^grid_bits, i.e. level-0 voxel
+    extent ±(2^grid_bits * 2). Default 5 -> ±64 voxels (tabletop scenes
+    span ~±40 at 5 cm, SURVEY §6); voxels outside are masked off. Raise
+    for larger scenes (dense-grid memory is 8 * 2^(3*grid_bits) bytes).
+
+    Default brick capacities: M//8 at level 0 (>=8 occupied voxels per
+    brick on surface-like scenes), halving per level with a floor of 32.
+    """
+    del bits  # legacy arg of the sort-based builder
+    batched = coords.ndim == 3
+    m = coords.shape[-2]
+    if brick_capacities is None:
+        b0 = max(m // 8, 32)
+        brick_capacities = tuple(max(b0 >> l, 32) for l in range(num_levels))
+    caps = tuple(brick_capacities)
+    fn = lambda c, k: _build_single(c, k, num_levels=num_levels,
+                                    grid_bits=grid_bits, capacities=caps)
+    if batched:
+        return jax.vmap(fn)(coords, mask)
+    return fn(coords, mask)
+
+
+# --------------------------------------------------------------- feature ops
+
+def scatter_points(feats: jnp.ndarray, row: jnp.ndarray, within: jnp.ndarray,
+                   capacity: int) -> jnp.ndarray:
+    """(M, C) voxel features -> (Bm, 4, 4, 4, C) brick-dense."""
+    c = feats.shape[-1]
+    flat = jnp.zeros((capacity * BV + 1, c), feats.dtype)
+    dst = jnp.where(row < capacity, row * BV + within, capacity * BV)
+    flat = flat.at[dst].set(feats, mode="drop")
+    return flat[:-1].reshape(capacity, BS, BS, BS, c)
+
+
+def gather_points(dense: jnp.ndarray, row: jnp.ndarray,
+                  within: jnp.ndarray) -> jnp.ndarray:
+    """(Bm, 4, 4, 4, C) -> (M, C) at the given voxel slots (pad -> zeros)."""
+    bm = dense.shape[0]
+    c = dense.shape[-1]
+    flat = jnp.concatenate([dense.reshape(bm * BV, c),
+                            jnp.zeros((1, c), dense.dtype)], axis=0)
+    src = jnp.where(row < bm, row * BV + within, bm * BV)
+    return jnp.take(flat, src, axis=0)
+
+
+def halo_exchange(feats: jnp.ndarray, nbr: jnp.ndarray,
+                  pad: int = 1) -> jnp.ndarray:
+    """(Bm, 4, 4, 4, C) + neighbor map -> (Bm, 4+2p, 4+2p, 4+2p, C).
+
+    27 whole-brick gathers (brick rows are contiguous ~48 KB blocks — the
+    fast gather regime) assembled by nested CONCATENATION (a chain of 27
+    dynamic-update-slices would serialize and copy the halo buffer 27x).
+    pad=1 serves k3, pad=2 k5.
+    """
+    assert 1 <= pad <= BS - 1
+    bm, _, _, _, c = feats.shape
+    fz = jnp.concatenate([feats, jnp.zeros((1, BS, BS, BS, c), feats.dtype)],
+                         axis=0)
+
+    def slab(block, d, axis):
+        """Slice one brick block for direction d along spatial axis."""
+        if d == -1:
+            return jax.lax.slice_in_dim(block, BS - pad, BS, axis=axis)
+        if d == 0:
+            return block
+        return jax.lax.slice_in_dim(block, 0, pad, axis=axis)
+
+    # Pre-slice the SOURCE to each direction's boundary slab, THEN gather:
+    # gathering whole bricks and slicing after would materialize 27x the
+    # level's features (~10 GB at 384ch); pre-sliced gathers move only the
+    # 2.4x halo surplus.
+    # concat z within (x, y) rows, then y, then x — 27 -> 9 -> 3 -> 1
+    x_parts = []
+    for ix, dx in enumerate((-1, 0, 1)):
+        y_parts = []
+        for iy, dy in enumerate((-1, 0, 1)):
+            z_parts = []
+            for iz, dz in enumerate((-1, 0, 1)):
+                k = (ix * 3 + iy) * 3 + iz
+                if dx == dy == dz == 0:
+                    z_parts.append(feats)
+                    continue
+                src = slab(slab(slab(fz, dx, 1), dy, 2), dz, 3)
+                z_parts.append(src[nbr[:, k]])
+            y_parts.append(jnp.concatenate(z_parts, axis=3))
+        x_parts.append(jnp.concatenate(y_parts, axis=2))
+    return jnp.concatenate(x_parts, axis=1)
+
+
+def brick_conv(feats: jnp.ndarray, level: BrickLevel, weights: jnp.ndarray,
+               ksize: int = 3) -> jnp.ndarray:
+    """Submanifold sparse conv on one level.
+
+    feats: (Bm, 4, 4, 4, Cin); weights: (K, Cin, Cout) in lexicographic
+    offset order (== ops.sparse_conv layout). Output masked to occupancy.
+    """
+    pad = ksize // 2
+    cin, cout = weights.shape[-2:]
+    w = weights.reshape(ksize, ksize, ksize, cin, cout)
+    halo = halo_exchange(feats, level.nbr, pad=pad)
+    out = jax.lax.conv_general_dilated(
+        halo, w.astype(feats.dtype), window_strides=(1, 1, 1),
+        padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32).astype(feats.dtype)
+    return out * level.occ[..., None].astype(feats.dtype)
+
+
+def brick_down_conv(fine_feats: jnp.ndarray, group_map: jnp.ndarray,
+                    coarse: BrickLevel, weights: jnp.ndarray) -> jnp.ndarray:
+    """k2s2 down conv: fine level -> coarse level.
+
+    fine_feats: (Bmf, 4,4,4, Cin); group_map: (Bmc, 8); weights: (8, Cin,
+    Cout) in (0,1)^3 lexicographic order (== ops.sparse_conv down layout).
+    """
+    bmf = fine_feats.shape[0]
+    cin, cout = weights.shape[-2:]
+    bmc = group_map.shape[0]
+    fz = jnp.concatenate(
+        [fine_feats, jnp.zeros((1, BS, BS, BS, cin), fine_feats.dtype)], 0)
+    grp = fz[group_map]  # (Bmc, 8, 4,4,4, Cin)
+    grp = grp.reshape(bmc, 2, 2, 2, BS, BS, BS, cin)
+    grp = grp.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+        bmc, 2 * BS, 2 * BS, 2 * BS, cin)
+    w = weights.reshape(2, 2, 2, cin, cout)
+    out = jax.lax.conv_general_dilated(
+        grp, w.astype(grp.dtype), window_strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32).astype(grp.dtype)
+    return out * coarse.occ[..., None].astype(out.dtype)
+
+
+def brick_up_conv(coarse_feats: jnp.ndarray, parent_map: jnp.ndarray,
+                  octant: jnp.ndarray, fine: BrickLevel,
+                  weights: jnp.ndarray) -> jnp.ndarray:
+    """Transposed k2s2: coarse level -> the encoder's fine level.
+
+    coarse_feats: (Bmc, 4,4,4, Cin); parent_map: (Bmf,); octant: (Bmf, 3);
+    weights: (8, Cin, Cout). fine voxel p takes W[p & 1] . coarse[p >> 1]
+    (== ops.sparse_conv_transpose semantics).
+    """
+    bmc = coarse_feats.shape[0]
+    cin, cout = weights.shape[-2:]
+    cz = jnp.concatenate(
+        [coarse_feats, jnp.zeros((1, BS, BS, BS, cin), coarse_feats.dtype)],
+        axis=0)
+    par = cz[jnp.minimum(parent_map, bmc)]  # (Bmf, 4,4,4, Cin)
+
+    # octant select FIRST (on the small Cin tensor): the fine brick's
+    # parents are the 2^3 coarse voxels at [o*2, o*2+2) per axis — a
+    # where() between two static halves per axis. Selecting after
+    # upsampling would materialize the parent's full 8^3 x Cout field.
+    def pick(t, bit, axis):
+        lo = jax.lax.slice_in_dim(t, 0, BS // 2, axis=axis)
+        hi = jax.lax.slice_in_dim(t, BS // 2, BS, axis=axis)
+        shape = [t.shape[0]] + [1] * (t.ndim - 1)
+        return jnp.where(bit.reshape(shape), hi, lo)
+
+    sub = pick(par, octant[:, 0].astype(bool), 1)
+    sub = pick(sub, octant[:, 1].astype(bool), 2)
+    sub = pick(sub, octant[:, 2].astype(bool), 3)  # (Bmf, 2,2,2, Cin)
+
+    # upsample: fine voxel 2c+o of the brick gets W[o] . parent_sub[c]
+    up = jnp.einsum("bxyzc,kcd->bxyzkd", sub,
+                    weights.astype(sub.dtype),
+                    preferred_element_type=jnp.float32).astype(sub.dtype)
+    up = up.reshape(-1, 2, 2, 2, 2, 2, 2, cout)
+    up = up.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+        -1, BS, BS, BS, cout)
+    return up * fine.occ[..., None].astype(up.dtype)

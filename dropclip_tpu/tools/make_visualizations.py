@@ -1,0 +1,94 @@
+"""Dump visualization point clouds per scene.
+
+Counterpart of reference tools/make_visualizations.py:15-64 and the
+training-time visualization dump (engine/distil.py:551-648): for each val
+scene write .pcd files colored by rgb / instance labels / PCA of the
+fused teacher targets / PCA of the student output.
+
+Usage:
+  python -m dropclip_tpu.tools.make_visualizations --config configs/DistilBlender.yaml \
+      --opts root_dir DATA [resume CKPT] viz_dir ./viz [max_scenes 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import restore_checkpoint
+from ..core.config import load_cfg, merge_cfg_from_list
+from ..core.mesh import make_mesh
+from ..data import build_dataset_for
+from ..distill.engine import build_student_for, build_topology, make_eval_step
+from ..distill.train_state import create_train_state, make_optimizer
+from ..viz import apply_pca, label_colors, save_pcd
+from .train_distil import to_batch
+
+
+def main() -> None:
+    p = argparse.ArgumentParser("dropclip_tpu visualization dumps")
+    p.add_argument("--config", required=True)
+    p.add_argument("--opts", nargs=argparse.REMAINDER, default=None)
+    a = p.parse_args()
+    cfg = load_cfg(a.config)
+    if a.opts:
+        cfg = merge_cfg_from_list(cfg, a.opts)
+    out_dir = cfg.viz_dir or "./viz"
+    max_scenes = int(cfg.max_scenes or 8)
+
+    mesh = make_mesh()
+    cfg.evaluate = True
+    _, val_ds, collate = build_dataset_for(cfg)
+
+    state = eval_step = None
+    if cfg.resume:
+        model = build_student_for(cfg)
+        example = collate([val_ds[0]])
+        topo0 = build_topology(cfg, jnp.asarray(example["coords"]),
+                               jnp.asarray(example["mask"]))
+        tx = make_optimizer(cfg, 1)
+        state = create_train_state(model, topo0,
+                                   jnp.asarray(example["in_feats"]), tx)
+        payload = {"step": state.step, "params": state.params,
+                   "batch_stats": state.batch_stats,
+                   "opt_state": state.opt_state, "epoch": 0, "best_val": 0.0}
+        restored = restore_checkpoint(cfg.resume, payload)
+        assert restored is not None, f"no checkpoint at {cfg.resume}"
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+        eval_step = jax.jit(make_eval_step(cfg))
+
+    for i in range(min(max_scenes, len(val_ds))):
+        item = val_ds[i]
+        b = collate([item])
+        m = np.asarray(item["mask"])
+        # voxel centers in metric space = coords * voxel_size
+        xyz = np.asarray(item["coords"], np.float32)[m] \
+            * float(cfg.voxel_size or 0.05)
+        rgb = np.asarray(item["in_feats"])[m][:, 3:6] \
+            if item["in_feats"].shape[-1] >= 6 else None
+        labels = np.asarray(item["labels"])[m]
+        targets = np.asarray(item["targets"])[m]
+        sid = item["scene_id"]
+
+        if rgb is not None:
+            save_pcd(os.path.join(out_dir, f"{sid}_rgb.pcd"), xyz,
+                     np.clip(rgb, 0, 1))
+        save_pcd(os.path.join(out_dir, f"{sid}_label.pcd"), xyz,
+                 label_colors(labels))
+        save_pcd(os.path.join(out_dir, f"{sid}_target_pca.pcd"), xyz,
+                 apply_pca(targets))
+        if eval_step is not None:
+            out, _ = eval_step(state, to_batch(b, mesh))
+            feats = np.asarray(out[0])[m]
+            save_pcd(os.path.join(out_dir, f"{sid}_student_pca.pcd"), xyz,
+                     apply_pca(feats))
+        print(f"dumped {sid} -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

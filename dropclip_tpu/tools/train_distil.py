@@ -31,13 +31,12 @@ from ..core.config import CfgNode, load_cfg, merge_cfg_from_list
 from ..core.logging import setup_logger
 from ..core.mesh import DATA_AXIS, make_mesh
 from ..core.meters import AverageMeter, ProgressMeter
-from ..distill.engine import DistilBatch, make_eval_step, make_train_step
+from ..distill.engine import (DistilBatch, build_student_for, build_topology,
+                              make_eval_step, make_train_step)
 from ..distill.evaluate import validate_grounding
 from ..distill.train_state import create_train_state, make_optimizer
-from ..data.dataset_blender import MVTODDataset, build_dataset
+from ..data import build_dataset_for
 from ..data.loader import DataLoader
-from ..sparse.topology import build_unet_topology
-from ..sparse.unet import build_student
 
 
 def get_parser() -> CfgNode:
@@ -102,7 +101,7 @@ def main() -> None:
     assert int(cfg.batch_size or 8) % n_dev == 0, (
         f"global batch {cfg.batch_size} must divide over {n_dev} devices")
 
-    train_ds, val_ds, collate = build_dataset(cfg)
+    train_ds, val_ds, collate = build_dataset_for(cfg)
     train_loader = DataLoader(
         train_ds, int(cfg.batch_size or 8), collate, shuffle=True,
         num_workers=int(cfg.workers or 8), seed=int(cfg.manual_seed or 42),
@@ -114,13 +113,13 @@ def main() -> None:
             num_workers=int(cfg.workers_val or 2),
             shard_index=jax.process_index(), num_shards=jax.process_count())
 
-    model = build_student(cfg)
+    model = build_student_for(cfg)
     iters_per_epoch = max(len(train_loader), 1)
     tx = make_optimizer(cfg, iters_per_epoch)
 
     example = collate([train_ds[0]] * max(n_dev, 1))
-    topo0 = build_unet_topology(jnp.asarray(example["coords"]),
-                                jnp.asarray(example["mask"]))
+    topo0 = build_topology(cfg, jnp.asarray(example["coords"]),
+                           jnp.asarray(example["mask"]))
     state = create_train_state(model, topo0, jnp.asarray(example["in_feats"]),
                                tx, rng=jax.random.PRNGKey(
                                    int(cfg.manual_seed or 42)))

@@ -28,11 +28,9 @@ from ..core.logging import setup_logger
 from ..core.mesh import make_mesh
 from ..data.dataset_blender import MVTODDataset
 from ..data.loader import DataLoader
-from ..distill.engine import make_eval_step
+from ..distill.engine import build_student_for, build_topology, make_eval_step
 from ..distill.evaluate import validate_grounding
 from ..distill.train_state import create_train_state, make_optimizer
-from ..sparse.topology import build_unet_topology
-from ..sparse.unet import build_student
 from .train_distil import make_clip_sim, to_batch
 
 
@@ -58,10 +56,10 @@ def main() -> None:
     state = None
     eval_step = None
     if not upper_bound:
-        model = build_student(cfg)
+        model = build_student_for(cfg)
         example = MVTODDataset.collate([val_ds[0]])
-        topo0 = build_unet_topology(jnp.asarray(example["coords"]),
-                                    jnp.asarray(example["mask"]))
+        topo0 = build_topology(cfg, jnp.asarray(example["coords"]),
+                               jnp.asarray(example["mask"]))
         tx = make_optimizer(cfg, 1)
         state = create_train_state(model, topo0,
                                    jnp.asarray(example["in_feats"]), tx)

@@ -1,0 +1,107 @@
+"""Visualization utilities (host-side, dependency-light).
+
+Replaces the reference's Open3D/matplotlib helpers (reference
+utils/viz.py): a deterministic 85-color label palette, PCA feature
+colormaps (reference utils/projections.py:100-105, sklearn -> numpy SVD),
+similarity heatmap coloring, and ASCII .pcd export (replacing
+o3d.io.write_point_cloud in engine/distil.py:586-603).
+"""
+
+from __future__ import annotations
+
+import colorsys
+import os
+from typing import Optional
+
+import numpy as np
+
+N_PALETTE = 85  # reference utils/viz.py:25-285 ships a fixed 85-color table
+
+
+def _make_palette(n: int = N_PALETTE) -> np.ndarray:
+    """Deterministic, well-separated label colors (golden-ratio hue walk;
+    id 0 = gray for the table, like the reference's PALLETE[0])."""
+    cols = [(0.6, 0.6, 0.6)]
+    h = 0.0
+    for i in range(1, n):
+        h = (h + 0.61803398875) % 1.0
+        s = 0.55 + 0.4 * ((i * 7) % 3) / 2
+        v = 0.95 - 0.35 * ((i * 5) % 4) / 3
+        cols.append(colorsys.hsv_to_rgb(h, s, v))
+    return np.asarray(cols, np.float32)
+
+
+PALETTE = _make_palette()
+
+
+def label_colors(labels: np.ndarray) -> np.ndarray:
+    """(N,) int labels -> (N, 3) float colors."""
+    return PALETTE[np.asarray(labels) % len(PALETTE)]
+
+
+def apply_pca(features: np.ndarray, n_components: int = 3,
+              mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """Project (N, C) features to (N, 3) colors in [0, 1] via PCA
+    (reference utils/projections.py:100-105)."""
+    f = np.asarray(features, np.float64)
+    sel = np.asarray(mask, bool) if mask is not None else np.ones(len(f), bool)
+    mu = f[sel].mean(0) if sel.any() else f.mean(0)
+    centered = f - mu
+    _, _, vt = np.linalg.svd(centered[sel], full_matrices=False)
+    proj = centered @ vt[:n_components].T
+    lo = proj[sel].min(0) if sel.any() else proj.min(0)
+    hi = proj[sel].max(0) if sel.any() else proj.max(0)
+    out = (proj - lo) / np.maximum(hi - lo, 1e-9)
+    out[~sel] = 0.0
+    return out.astype(np.float32)
+
+
+def similarity_colors(sims: np.ndarray) -> np.ndarray:
+    """(N,) similarity in [0,1] -> blue->red heat colors (reference
+    utils/viz.py similarity viewers)."""
+    s = np.clip(np.asarray(sims, np.float32), 0, 1)
+    return np.stack([s, 0.2 * (1 - np.abs(2 * s - 1)), 1 - s], axis=-1)
+
+
+def save_pcd(path: str, xyz: np.ndarray, colors: Optional[np.ndarray] = None
+             ) -> None:
+    """ASCII .pcd writer (xyz [+ packed rgb])."""
+    xyz = np.asarray(xyz, np.float32)
+    n = len(xyz)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        fields = "x y z rgb" if colors is not None else "x y z"
+        ncols = 4 if colors is not None else 3
+        f.write("# .PCD v0.7 - Point Cloud Data file format\n")
+        f.write("VERSION 0.7\n")
+        f.write(f"FIELDS {fields}\n")
+        f.write(f"SIZE {' '.join(['4'] * ncols)}\n")
+        f.write(f"TYPE {'F F F U' if colors is not None else 'F F F'}\n")
+        f.write(f"COUNT {' '.join(['1'] * ncols)}\n")
+        f.write(f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n")
+        f.write(f"POINTS {n}\nDATA ascii\n")
+        if colors is not None:
+            rgb8 = (np.clip(colors, 0, 1) * 255).astype(np.uint32)
+            packed = (rgb8[:, 0] << 16) | (rgb8[:, 1] << 8) | rgb8[:, 2]
+            for p, c in zip(xyz, packed):
+                f.write(f"{p[0]} {p[1]} {p[2]} {c}\n")
+        else:
+            for p in xyz:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def load_pcd(path: str):
+    """Minimal ASCII .pcd reader (round-trip of save_pcd)."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    start = next(i for i, l in enumerate(lines) if l.startswith("DATA")) + 1
+    has_rgb = "rgb" in lines[next(
+        i for i, l in enumerate(lines) if l.startswith("FIELDS"))]
+    rows = [l.split() for l in lines[start:] if l]
+    xyz = np.asarray([[float(x) for x in r[:3]] for r in rows], np.float32)
+    if not has_rgb:
+        return xyz, None
+    packed = np.asarray([int(float(r[3])) for r in rows], np.uint32)
+    colors = np.stack([(packed >> 16) & 255, (packed >> 8) & 255,
+                       packed & 255], -1).astype(np.float32) / 255.0
+    return xyz, colors

@@ -130,6 +130,7 @@ def test_cross_entropy_ignore(rng):
 # ---------------------------------------------------------------- train step
 
 CFG = CfgNode({
+    "sparse_backend": "gather",
     "arch_3d": "tiny", "feat_dim": 16, "loss_type": "cosine",
     "use_aux_loss": False, "use_cls_head": False, "base_lr": 1e-3,
     "min_lr": 1e-4, "epochs": 10, "weight_decay": 1e-5, "max_norm": 5.0,

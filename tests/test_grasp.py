@@ -1,0 +1,69 @@
+"""Grasp containers + language-guided ranking tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dropclip_tpu.grasp import (SceneGrasps, create_gripper_marker,
+                                rank_grasps_by_query)
+from dropclip_tpu.grasp.gripper import save_obj
+
+
+def make_grasps(rng, n=20):
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, :3, 3] = rng.randn(n, 3)
+    return SceneGrasps(np.arange(n), poses, rng.rand(n),
+                       rng.randint(1, 4, n))
+
+
+def test_scene_grasps_filters(rng):
+    g = make_grasps(rng)
+    hi = g.filter_by_score(0.2)  # keeps > 0.6 (3x thresh, reference :200)
+    assert np.all(hi.scores > 0.6)
+    only2 = g.filter_by_labels(2)
+    assert np.all(only2.labels == 2)
+    multi = g.filter_by_labels([1, 3])
+    assert set(np.unique(multi.labels)) <= {1, 3}
+    top = g.select_topk(5)
+    assert len(top) == 5
+    assert np.all(np.diff(top.scores) <= 0)
+    samp = g.sample(7, rng=np.random.default_rng(0))
+    assert len(samp) == 7
+
+
+def test_gripper_mesh(tmp_path):
+    v, f = create_gripper_marker()
+    assert v.shape[1] == 3 and f.shape[1] == 3
+    assert f.max() < len(v)
+    g = make_grasps(np.random.RandomState(0), n=3)
+    meshes = g.to_meshes()
+    assert len(meshes) == 3
+    # posed mesh is translated by the grasp position
+    assert np.allclose(meshes[0][0].mean(0) - v.mean(0), g.poses[0, :3, 3],
+                       atol=1e-6)
+    save_obj(str(tmp_path / "g.obj"), v, f)
+    assert (tmp_path / "g.obj").read_text().startswith("v ")
+
+
+def test_rank_grasps_by_query(rng):
+    """Grasps near the queried object's points must rank first."""
+    n, c = 200, 16
+    points = rng.randn(n, 3).astype(np.float32) * 0.02
+    points[:100] += [1, 0, 0]   # object A cluster
+    points[100:] += [-1, 0, 0]  # object B cluster
+    pos_emb = np.zeros(c, np.float32)
+    pos_emb[0] = 1.0
+    feats = rng.randn(n, c).astype(np.float32) * 0.01
+    feats[:100, 0] += 10.0  # object A matches the query
+    g_pos = np.array([[1, 0, 0], [-1, 0, 0], [1, 0.02, 0]], np.float32)
+    g_scores = np.array([0.1, 0.9, 0.2], np.float32)
+
+    order, score = rank_grasps_by_query(
+        jnp.asarray(points), jnp.asarray(feats), jnp.ones(n, bool),
+        jnp.asarray(g_pos), jnp.asarray(g_scores), jnp.asarray(pos_emb),
+        radius=0.2)
+    order = np.asarray(order)
+    # both object-A grasps outrank the high-quality object-B grasp
+    assert set(order[:2]) == {0, 2}
+    assert order[2] == 1

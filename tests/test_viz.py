@@ -1,0 +1,59 @@
+"""Viz utility tests: palette, PCA colormap, pcd round trip."""
+
+import numpy as np
+
+from dropclip_tpu.viz import (PALETTE, apply_pca, label_colors, load_pcd,
+                              save_pcd, similarity_colors)
+
+
+def test_palette_distinct():
+    assert PALETTE.shape == (85, 3)
+    assert PALETTE.min() >= 0 and PALETTE.max() <= 1
+    # all colors pairwise distinct
+    d = np.linalg.norm(PALETTE[:, None] - PALETTE[None, :], axis=-1)
+    d += np.eye(len(PALETTE))
+    assert d.min() > 0.05
+
+
+def test_label_colors(rng):
+    labs = rng.randint(0, 200, 50)
+    c = label_colors(labs)
+    assert c.shape == (50, 3)
+    assert np.allclose(c[labs == 0], PALETTE[0])
+
+
+def test_apply_pca(rng):
+    f = rng.randn(100, 16).astype(np.float32)
+    f[:50, 0] += 10  # strong first component
+    c = apply_pca(f)
+    assert c.shape == (100, 3)
+    assert c.min() >= 0 and c.max() <= 1.0 + 1e-6
+    # the dominant direction separates the two halves in channel 0
+    assert abs(c[:50, 0].mean() - c[50:, 0].mean()) > 0.5
+    # masked rows don't affect the projection and come out zero
+    mask = np.ones(100, bool)
+    mask[90:] = False
+    f2 = f.copy()
+    f2[90:] = 1e6
+    c2 = apply_pca(f2, mask=mask)
+    assert np.allclose(c2[:90], apply_pca(f[:90]), atol=1e-5)
+    assert np.allclose(c2[90:], 0)
+
+
+def test_similarity_colors():
+    c = similarity_colors(np.array([0.0, 0.5, 1.0]))
+    assert np.allclose(c[0], [0, 0, 1])  # cold
+    assert np.allclose(c[2], [1, 0, 0])  # hot
+
+
+def test_pcd_roundtrip(tmp_path, rng):
+    xyz = rng.randn(30, 3).astype(np.float32)
+    col = rng.rand(30, 3).astype(np.float32)
+    p = str(tmp_path / "x.pcd")
+    save_pcd(p, xyz, col)
+    xyz2, col2 = load_pcd(p)
+    assert np.allclose(xyz, xyz2, atol=1e-4)
+    assert np.max(np.abs(col - col2)) < 1 / 255 + 1e-6
+    save_pcd(p, xyz, None)
+    xyz3, col3 = load_pcd(p)
+    assert col3 is None and np.allclose(xyz, xyz3, atol=1e-4)
