@@ -1,16 +1,24 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Primary metric (this stage of the build): single-view student inference
-throughput — voxel-topology build + MinkUNet14D sparse UNet forward to
-768-d per-point CLIP features — at deployment shapes (batch 8, 8192-voxel
-capacity per scene, bf16 activations), end-to-end jitted on one chip.
-This is the reference's deployable path (tools/validate_blender.py stack,
-SURVEY §3.3), whose hot kernels are MinkowskiEngine CUDA sparse convs.
+Two modes (BENCH_METRIC env):
 
-``vs_baseline`` compares against an estimated reference throughput of
-40 scenes/sec (MinkUNet14D on ~8k voxels, batch 8, single modern GPU with
-MinkowskiEngine — the reference publishes no numbers; BASELINE.md). Update
-when a measured baseline lands.
+- ``fusion`` (default — the BASELINE.json headline, ">10x fused
+  scenes/sec vs the CUDA+MinkowskiEngine reference"): the full offline
+  ingest of one MV-TOD-scale scene — 73-view RGB-D aggregation + voxel
+  downsample, per-(view, object) CLIP ViT-L/14@336px crop-mask visual
+  prompting + forwards, text queries, object-level fusion — steady-state
+  scenes/sec. Teacher weights are random (numerics don't change the
+  compute). Estimated reference throughput: 0.2 scenes/sec (~5 s/scene:
+  per-crop PIL preprocessing + batch-12 CUDA CLIP forwards over ~73xK
+  crops + o3d CPU aggregation, reference tools/preprocess_data.py).
+
+- ``infer``: single-view student inference — brick topology +
+  MinkUNet14D forward to 768-d features at deployment shapes (batch 8,
+  8192-voxel capacity, bf16). Estimated reference: 40 scenes/sec
+  (MinkowskiEngine on a modern GPU).
+
+The reference publishes no numbers (BASELINE.md) — estimates above are
+documented assumptions; update when measured baselines land.
 """
 
 from __future__ import annotations
@@ -21,10 +29,10 @@ import time
 
 import numpy as np
 
-EST_BASELINE_SCENES_PER_SEC = 40.0
+EST_BASELINE = {"fusion": 0.2, "infer": 40.0}
 
 
-def main():
+def main_infer():
     import jax
     import jax.numpy as jnp
 
@@ -111,12 +119,68 @@ def main():
     p50 = float(np.median(times)) / reps
     scenes_per_sec = b / p50
 
-    print(json.dumps({
+    return {
         "metric": "single_view_infer_scenes_per_sec",
         "value": round(scenes_per_sec, 2),
         "unit": "scenes/sec",
-        "vs_baseline": round(scenes_per_sec / EST_BASELINE_SCENES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(scenes_per_sec / EST_BASELINE["infer"], 3),
+    }
+
+
+def main_fusion():
+    """Full ingest throughput at MV-TOD scale (the >10x headline)."""
+    import jax.numpy as jnp
+
+    from dropclip_tpu.core.config import CfgNode
+    from dropclip_tpu.data.synthetic import make_raw_scene
+    from dropclip_tpu.tools.preprocess_data import build_extractor, process_scene
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    n_views = 4 if smoke else 73
+    n_objects = 3 if smoke else 10
+    hw = (48, 64) if smoke else (480, 640)
+    n_scenes = 2 if smoke else 4
+
+    args = CfgNode(dict(
+        clip_model="tiny-test" if smoke else "ViT-L/14@336px",
+        clip_checkpoint=None, visual_prompt="crop-mask", crop_num_levels=1,
+        crop_expansion_ratio=0.15, batch_size=32))
+    extractor = build_extractor(args)
+
+    rng = np.random.default_rng(0)
+    scenes = [make_raw_scene(rng, n_objects=n_objects,
+                             n_points_per_obj=400 if not smoke else 120,
+                             n_views=n_views, hw=hw) for _ in range(n_scenes)]
+    if not smoke:
+        # MV-TOD intrinsics/scale (reference data/blender.py:180-187)
+        for s in scenes:
+            s["K"] = np.array([[444.44, 0, 319.5], [0, 444.44, 239.5],
+                               [0, 0, 1]], np.float32)
+
+    times = []
+    for i, s in enumerate(scenes):
+        t0 = time.perf_counter()
+        process_scene(
+            images=s["images"], depths=s["depths"], segs=s["segs"],
+            poses=s["poses"], K=s["K"], obj_info=s["objects_info"],
+            extractor=extractor, out_path=f"/tmp/bench_fusion/{i:04d}.h5py",
+            voxel_size=0.01 if smoke else 0.005,
+            cloud_capacity=4096 if smoke else 131072)
+        times.append(time.perf_counter() - t0)
+    steady = times[1:] if len(times) > 1 else times  # drop compile scene
+    scenes_per_sec = 1.0 / float(np.median(steady))
+    return {
+        "metric": "fused_scenes_per_sec",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/sec",
+        "vs_baseline": round(scenes_per_sec / EST_BASELINE["fusion"], 2),
+    }
+
+
+def main():
+    mode = os.environ.get("BENCH_METRIC", "fusion")
+    result = main_fusion() if mode == "fusion" else main_infer()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

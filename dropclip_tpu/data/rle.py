@@ -79,9 +79,39 @@ def _counts_from_mask(mask: np.ndarray) -> List[int]:
     return cnts
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native():
+    """The C codec (dropclip_tpu/native/rle.c), or None -> numpy fallback."""
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from ..native import load
+
+            _NATIVE = load()
+        except Exception:  # noqa: BLE001
+            _NATIVE = None
+    return _NATIVE
+
+
 def encode_rle(mask: np.ndarray) -> Dict:
     """Binary (H, W) mask -> compressed COCO RLE dict."""
     h, w = mask.shape
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        flat = np.ascontiguousarray(np.asarray(mask, np.uint8).reshape(
+            -1, order="F"))
+        cap = 2 * h * w + 64
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.rle_encode(flat.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)), h, w, buf, cap)
+        if n >= 0:
+            return {"size": [h, w], "counts": buf.raw[:n].decode("ascii")}
     return {"size": [h, w],
             "counts": _string_from_counts(_counts_from_mask(mask))}
 
@@ -92,6 +122,16 @@ def decode_rle(segm: Dict) -> np.ndarray:
     counts = segm["counts"]
     if isinstance(counts, (list, tuple)):
         return _mask_from_counts([int(c) for c in counts], h, w)
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        s = counts.encode("ascii") if isinstance(counts, str) else counts
+        out = np.zeros(h * w, np.uint8)
+        n = lib.rle_decode(s, len(s), out.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)), h, w)
+        if n >= 0:
+            return out.reshape((h, w), order="F")
     return _mask_from_counts(_counts_from_string(counts), h, w)
 
 

@@ -87,6 +87,7 @@ def make_raw_scene(rng: np.random.Generator, n_objects: int = 3,
     depths = np.full((n_views, h, w), 10.0, np.float32)
     segs = np.zeros((n_views, h, w), np.int32)
     images = np.full((n_views, h, w, 3), 140, np.uint8)
+    col8 = (colors * 255).astype(np.uint8)
     for v in range(n_views):
         cam = (np.linalg.inv(poses[v]) @ np.c_[points, np.ones(n)].T).T[:, :3]
         cam[:, 1] *= -1
@@ -97,15 +98,14 @@ def make_raw_scene(rng: np.random.Generator, n_objects: int = 3,
         uv = np.zeros((n, 2), int)
         uv[ok] = (uvw[ok, :2] / z[ok, None]).astype(int)
         inside = ok & (uv[:, 0] >= 0) & (uv[:, 1] >= 0) & (uv[:, 0] < w) & (uv[:, 1] < h)
-        # nearest point wins the pixel (painter's algorithm, far to near)
+        # nearest point wins the pixel: write far-to-near, vectorized
+        # (later fancy-index writes overwrite earlier ones)
         order = np.argsort(-z)
-        for i in order:
-            if not inside[i]:
-                continue
-            x, y = uv[i]
-            depths[v, y, x] = z[i]
-            segs[v, y, x] = labels[i]
-            images[v, y, x] = (colors[i] * 255).astype(np.uint8)
+        order = order[inside[order]]
+        ys, xs = uv[order, 1], uv[order, 0]
+        depths[v, ys, xs] = z[order]
+        segs[v, ys, xs] = labels[order]
+        images[v, ys, xs] = col8[order]
 
     return {
         "points": points, "colors": colors, "labels": labels,

@@ -93,6 +93,18 @@ def main() -> None:
     logger = setup_logger("dropclip", save_dir=save_dir)
     logger.info("config:\n%s", cfg)
 
+    wandb_run = None
+    if cfg.use_wandb and jax.process_index() == 0:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=cfg.wandb_project or "dropclip_tpu",
+                                   name=stamp, config=dict(cfg))
+            wandb_run.define_metric("val_steps")
+            wandb_run.define_metric("validation/*", step_metric="val_steps")
+        except ImportError:
+            logger.warning("use_wandb=True but wandb is not installed")
+
     np.random.seed(int(cfg.manual_seed or 42))
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -175,6 +187,10 @@ def main() -> None:
             end = time.time()
             if i % int(cfg.print_freq or 25) == 0:
                 prog.display(i, print_fn=logger.info)
+                if wandb_run is not None:
+                    wandb_run.log({"train/distil_loss": lm.val,
+                                   "train/grad_norm": gm.val,
+                                   "train/step": int(state.step)})
 
         val_loss = lm.avg
         if val_loader is not None and (epoch % int(cfg.eval_freq or 1) == 0):
@@ -184,6 +200,10 @@ def main() -> None:
                 logger.info("Eval Grounding: Epoch=[%d/%s] %s", epoch,
                             cfg.epochs, res)
                 val_loss = res["DistilLoss"]
+                if wandb_run is not None:
+                    wandb_run.log({"val_steps": epoch,
+                                   **{f"validation/{k}": v
+                                      for k, v in res.items()}})
             else:
                 losses = [float(eval_forward(b)[1]) for b in val_loader]
                 val_loss = float(np.mean(losses)) if losses else lm.avg
