@@ -1,0 +1,69 @@
+"""Batch DINOv2 descriptor extraction for image folders.
+
+Counterpart of reference tools/dino_extract.py:34-71: load images, run
+the DINOv2 featurizer (cls or patch tokens), save .npy.
+
+Usage:
+  python -m dropclip_tpu.tools.dino_extract --images "DIR/*.png" --out OUT \
+      [--model dinov2_vits14] [--checkpoint hf_dinov2.pt] [--mode patch]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser("dropclip_tpu DINOv2 feature extraction")
+    p.add_argument("--images", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--model", default="dinov2_vits14")
+    p.add_argument("--checkpoint", default=None,
+                   help="HuggingFace Dinov2Model state dict (.pt); random "
+                        "weights if omitted (smoke mode)")
+    p.add_argument("--mode", choices=["cls", "patch"], default="patch")
+    p.add_argument("--resize", type=int, nargs=2, default=(336, 448))
+    p.add_argument("--batch-size", type=int, default=16)
+    a = p.parse_args()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from dropclip_tpu.teachers.dinov2 import (Dinov2Extractor, build_dinov2,
+                                              from_hf_dinov2)
+
+    model = build_dinov2(a.model, dtype=jnp.bfloat16)
+    if a.checkpoint:
+        import torch
+
+        obj = torch.load(a.checkpoint, map_location="cpu", weights_only=False)
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        variables = {"params": from_hf_dinov2(sd)}
+    else:
+        print("WARNING: no --checkpoint; RANDOM weights (smoke mode)")
+        px = jnp.zeros((1, model.image_resolution, model.image_resolution, 3))
+        variables = jax.jit(lambda x: model.init(jax.random.PRNGKey(0), x))(px)
+
+    ex = Dinov2Extractor(model, variables, mode=a.mode,
+                         img_resize=tuple(a.resize), batch_size=a.batch_size)
+    files = sorted(glob.glob(a.images))
+    assert files, f"no images match {a.images}"
+    os.makedirs(a.out, exist_ok=True)
+    for i in range(0, len(files), a.batch_size):
+        chunk = files[i: i + a.batch_size]
+        imgs = np.stack([
+            np.ascontiguousarray(cv2.imread(f)[:, :, ::-1]) for f in chunk])
+        feats = np.asarray(ex.extract(imgs))
+        for f, feat in zip(chunk, feats):
+            name = os.path.splitext(os.path.basename(f))[0]
+            np.save(os.path.join(a.out, f"{name}.npy"), feat)
+        print(f"{i + len(chunk)}/{len(files)}")
+
+
+if __name__ == "__main__":
+    main()

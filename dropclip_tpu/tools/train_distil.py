@@ -178,6 +178,11 @@ def main() -> None:
         end = time.time()
         for i, b in enumerate(train_loader):
             dt.update(time.time() - end)
+            # on-demand profiling (SURVEY §5: the reference has only
+            # wall-clock meters; here a real trace): profile_dir captures
+            # steps 10..14 of the first epoch for xprof/tensorboard.
+            if cfg.profile_dir and epoch == start_epoch and i == 10:
+                jax.profiler.start_trace(cfg.profile_dir)
             dropout_key, sub = jax.random.split(dropout_key)
             state, metrics = train_step(state, to_batch(b, mesh), sub)
             # host fetch = sync point (also keeps meters honest)
@@ -185,6 +190,9 @@ def main() -> None:
             gm.update(float(metrics["grad_norm"]))
             bt.update(time.time() - end)
             end = time.time()
+            if cfg.profile_dir and epoch == start_epoch and i == 14:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace -> %s", cfg.profile_dir)
             if i % int(cfg.print_freq or 25) == 0:
                 prog.display(i, print_fn=logger.info)
                 if wandb_run is not None:
