@@ -64,11 +64,14 @@ class BlenderDataset:
 
     @staticmethod
     def read_depth(path: str) -> np.ndarray:
+        if path.endswith(".npy"):  # fixture/robustness fallback format
+            return np.load(path).astype(np.float32)
         import cv2
 
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if img is None:
-            raise IOError(f"cannot read depth {path}")
+            raise IOError(f"cannot read depth {path} (EXR codec missing? "
+                          f"set OPENCV_IO_ENABLE_OPENEXR=1 or provide .npy)")
         if img.ndim == 3:
             img = img[:, :, 0]
         return img.astype(np.float32)
@@ -92,7 +95,8 @@ class BlenderDataset:
         rgb_files = sorted(glob.glob(
             f"{data_root}/image.{index:06d}.rgb.*.png"))
         depth_files = sorted(glob.glob(
-            f"{data_root}/image.{index:06d}.raw_depth.*.exr"))
+            f"{data_root}/image.{index:06d}.raw_depth.*.exr")) or sorted(
+            glob.glob(f"{data_root}/image.{index:06d}.raw_depth.*.npy"))
         seg_files = sorted(glob.glob(
             f"{data_root}/image.{index:06d}.iseg.*.png"))
 

@@ -28,7 +28,12 @@ def _attrs(obj: Dict) -> Dict[str, List[str]]:
 
 def find_unique_attribute(obj_info: Dict):
     """Split objects into unique/non-unique classes; pick a disambiguating
-    attribute per duplicate (reference dataset_blender.py:187-224)."""
+    attribute per duplicate (reference dataset_blender.py:187-224).
+
+    Non-dict entries are dropped: the raw scene dict maps id 0 to the
+    bare string 'table' (reference data/blender.py:258) and the reference
+    would crash on it here."""
+    obj_info = {k: v for k, v in obj_info.items() if isinstance(v, dict)}
     cls_cnt = Counter(x["cls_name"] for x in obj_info.values())
     unique_objs = {k: v for k, v in obj_info.items()
                    if cls_cnt[v["cls_name"]] == 1}
@@ -95,6 +100,7 @@ def prepare_fusion_queries(obj_info: Dict, scenario: str = "cls"
     text (no uniqueness filtering), attributes come from ``concepts``, and
     the tool prepends ``{0: ['table']}`` before embedding + mean-pooling
     each object's texts (preprocess_data.py:252-256)."""
+    obj_info = {k: v for k, v in obj_info.items() if isinstance(v, dict)}
     if scenario == "cls":
         return {k: [v["cls_name"]] for k, v in obj_info.items()}
     if scenario == "cls+attr":

@@ -115,6 +115,78 @@ def make_raw_scene(rng: np.random.Generator, n_objects: int = 3,
     }
 
 
+def write_fake_raw_blender(root: str, n_scenes: int = 1, n_objects: int = 2,
+                           n_views: int = 3, split: str = "train",
+                           hw: Tuple[int, int] = (48, 64), seed: int = 0
+                           ) -> None:
+    """Write a miniature RAW MV-TOD tree in the reference on-disk layout
+    (reference data/blender.py:167-280): per scene dir, rgb pngs + depth
+    (npy fallback — this cv2 build lacks the EXR codec) + iseg pngs, COCO
+    annos json with compressed-RLE masks and seg_color_hex, camera poses
+    json, objects[.init] json with base_scale/hex colors."""
+    import json
+
+    import cv2
+
+    from .rle import encode_rle
+
+    rng = np.random.default_rng(seed)
+    h, w = hw
+    for sid in range(n_scenes):
+        raw = make_raw_scene(rng, n_objects=n_objects, n_views=n_views, hw=hw)
+        d = os.path.join(root, split, f"{sid:06d}")
+        os.makedirs(d, exist_ok=True)
+        hexes = [f"#{(k * 40 + 30):02x}{(k * 20 + 10):02x}{(k * 10 + 5):02x}"
+                 for k in range(1, n_objects + 1)]
+        images_meta, annos_meta = [], []
+        cameras = {}
+        aid = 0
+        for v in range(n_views):
+            view_id = f"{v:04d}"
+            rgb_f = f"image.{sid:06d}.rgb.{view_id}.png"
+            cv2.imwrite(os.path.join(d, rgb_f),
+                        raw["images"][v][:, :, ::-1])
+            np.save(os.path.join(d, f"image.{sid:06d}.raw_depth.{view_id}.npy"),
+                    raw["depths"][v])
+            cv2.imwrite(os.path.join(d, f"image.{sid:06d}.iseg.{view_id}.png"),
+                        (raw["segs"][v] * 30).astype(np.uint8))
+            img_id = v
+            images_meta.append({"file_name": rgb_f, "id": img_id})
+            cameras[view_id] = {
+                "world_matrix": raw["poses"][v].tolist()}
+            for k in range(1, n_objects + 1):
+                m = (raw["segs"][v] == k).astype(np.uint8)
+                if m.sum() == 0:
+                    continue
+                annos_meta.append({
+                    "id": aid, "image_id": img_id,
+                    "segmentation": encode_rle(m),
+                    "seg_color_hex": hexes[k - 1]})
+                aid += 1
+        json.dump({"images": images_meta, "annotations": annos_meta},
+                  open(os.path.join(d, f"annos.{sid:06d}.coco.json"), "w"))
+        json.dump(cameras, open(os.path.join(d, f"cameras.{sid:06d}.json"), "w"))
+        objs_init = [{
+            "color": {"hex": hexes[k - 1]},
+            "path": f"models/shapenet/{CLS_NAMES[k % len(CLS_NAMES)]}/m{k}",
+            "cls_name": raw["objects_info"][k]["cls_name"],
+            "source": "shapenet", "sim_scale": 1.0,
+        } for k in range(1, n_objects + 1)]
+        objs_init.append({"base_scale": 10.0})
+        objs_final = [{"size": [0.1] * 3, "pose": [0, 0, 0],
+                       "bbox": [0, 0, 1, 1], "rotation": [0, 0, 0, 1]}
+                      for _ in range(n_objects)]
+        json.dump(objs_init,
+                  open(os.path.join(d, f"objects.init.{sid:06d}.json"), "w"))
+        json.dump(objs_final,
+                  open(os.path.join(d, f"objects.{sid:06d}.json"), "w"))
+    meta = {"categories": [{"id": i, "name": n}
+                           for i, n in enumerate(CLS_NAMES)]}
+    import json as _json
+
+    _json.dump(meta, open(os.path.join(root, "annos.meta.coco.json"), "w"))
+
+
 def write_fake_processed_dataset(root: str, n_scenes: int = 3,
                                  splits: Tuple[str, ...] = ("train", "test"),
                                  n_objects: int = 3, feat_dim: int = 16,

@@ -249,7 +249,9 @@ def fuse_obj_prior(points: jnp.ndarray, depths: jnp.ndarray,
 
     feats_qvc = jnp.swapaxes(obj_feats, 0, 1).astype(jnp.float32)  # (Q, V, C)
     wsum = jnp.sum(weights, axis=1)
-    fused = jnp.einsum("qvc,qv->qc", feats_qvc, weights) / wsum[:, None]
+    # broadcast-sum, not einsum("qvc,qv->qc"): batched small-K matmuls
+    # miscompile on TPU under some shapes (see geom.transforms._apply44)
+    fused = jnp.sum(feats_qvc * weights[:, :, None], axis=1) / wsum[:, None]
 
     vis = visibility_mask(points, depths, camera_poses, K, cfg)
     visible_any = jnp.sum(vis.astype(jnp.int32), axis=0) > 0

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def depth_to_pointcloud(depth: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
@@ -35,7 +36,7 @@ def depth_to_pointcloud(depth: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
 def pointcloud_to_pixel(points_camera: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     """Project camera-frame points to continuous pixel coords (N, 2) = (u, v)
     (reference utils/projections.py:59-64)."""
-    uvw = jnp.einsum("ij,nj->ni", K, points_camera)
+    uvw = jnp.sum(K[None, :, :] * points_camera[:, None, :], axis=-1)
     z = uvw[:, 2]
     safe_z = jnp.where(z == 0, 1.0, z)
     uv = uvw[:, :2] / safe_z[:, None]
@@ -61,7 +62,10 @@ def project_points(
         reference: z==0 points get uv=(0,0) which is in bounds; the depth
         test downstream rejects them).
     """
-    uvw = jnp.einsum("ij,nj->ni", K, points_camera)
+    # broadcast-multiply-sum, not einsum: the batched tiny-K matmul
+    # miscompiles on TPU under wide vmaps (see transforms._apply44), and
+    # TPU's default bf16 matmul precision shifts pixels by ~1 px anyway
+    uvw = jnp.sum(K[None, :, :] * points_camera[:, None, :], axis=-1)
     z = uvw[:, 2]
     safe_z = jnp.where(z == 0, 1.0, z)
     uv_f = uvw[:, :2] / safe_z[:, None]

@@ -8,11 +8,27 @@ jnp functions (usable under jit/vmap, differentiable, batched).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def _as_homogeneous(points: jnp.ndarray) -> jnp.ndarray:
     ones = jnp.ones((*points.shape[:-1], 1), dtype=points.dtype)
     return jnp.concatenate([points, ones], axis=-1)
+
+
+def _apply44(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Apply a 4x4 transform to (..., 3) points via broadcast-multiply-sum.
+
+    NOT a matmul/einsum: XLA TPU miscompiles the batched tiny-K matmul
+    this produces under vmap over >~32 transforms (observed: camera-frame
+    points off by ~1.0 at 36 views, correct at 8 — the same pathology as
+    batched jnp.linalg.inv). Elementwise ops sidestep the bad kernel, and
+    with K=4 the VPU form wastes nothing.
+    """
+    T = T.astype(points.dtype)
+    out = jnp.sum(T[..., :3, :3][..., None, :, :]
+                  * points[..., None, :], axis=-1)
+    return out + T[..., None, :3, 3]
 
 
 def transform_pointcloud_to_world_frame(points: jnp.ndarray,
@@ -22,16 +38,43 @@ def transform_pointcloud_to_world_frame(points: jnp.ndarray,
     ``camera_pose`` is the camera-to-world 4x4 matrix ("world_matrix").
     Supports leading batch dims on points.
     """
-    h = _as_homogeneous(points)
-    return jnp.einsum("ij,...j->...i", camera_pose, h)[..., :3]
+    return _apply44(camera_pose, points)
+
+
+def affine_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of (..., 4, 4) affine transforms (last row
+    [0,0,0,1]): adjugate 3x3 via cross products + translation.
+
+    jnp.linalg.inv MISCOMPILES on TPU when vmapped over >~32 matrices
+    under jit (observed: camera transforms off by >1.0 at 36 views, fine
+    at 8); camera poses are affine, so the closed form is exact and pure
+    elementwise math.
+    """
+    T = T.astype(jnp.float32)
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    a, b, c = R[..., :, 0], R[..., :, 1], R[..., :, 2]  # columns
+    r0 = jnp.cross(b, c)
+    r1 = jnp.cross(c, a)
+    r2 = jnp.cross(a, b)
+    det = jnp.sum(a * r0, axis=-1, keepdims=True)[..., None]
+    inv3 = jnp.stack([r0, r1, r2], axis=-2) / det
+    ti = -jnp.einsum("...ij,...j->...i", inv3, t,
+                     precision=lax.Precision.HIGHEST)
+    out = jnp.zeros_like(T)
+    out = out.at[..., :3, :3].set(inv3)
+    out = out.at[..., :3, 3].set(ti)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
 
 
 def transform_pointcloud_to_camera_frame(points: jnp.ndarray,
                                          camera_pose: jnp.ndarray) -> jnp.ndarray:
     """world->cam: x_c = T^-1 @ [x_w;1] (reference utils/transforms.py:52-61)."""
-    inv = jnp.linalg.inv(camera_pose)
-    h = _as_homogeneous(points)
-    return jnp.einsum("ij,...j->...i", inv, h)[..., :3]
+    # affine_inverse + _apply44, not jnp.linalg.inv + einsum: both the
+    # batched tiny inverse and the batched tiny-K matmul miscompile on
+    # TPU under wide vmaps (see their docstrings).
+    return _apply44(affine_inverse(camera_pose), points)
 
 
 def transform_poses_to_camera_frame(poses: jnp.ndarray,

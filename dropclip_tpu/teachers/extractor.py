@@ -79,19 +79,29 @@ class ClipExtractor:
             return normalize(x / 255.0, CLIP_MEAN, CLIP_STD)
 
         @jax.jit
-        def _obj_prior_view(variables, image, masks):
-            """One view: (H, W, 3) + (K, H, W) -> (K, C) prompt-averaged
-            cls embeddings (reference extractor.py:370-466: K objects x L
-            prompts, mean over prompts :413-418)."""
-            prompts = build_prompts(
-                image, masks, kinds=self.visual_prompt,
-                crop_num_levels=self.crop_num_levels,
-                crop_expansion_ratio=self.crop_expansion_ratio,
-                blur_kernel=self.blur_kernel, out_hw=self.img_resize)
-            k, l = prompts.shape[0], prompts.shape[1]
-            flat = prompts.reshape(k * l, *prompts.shape[2:])
+        def _obj_prior_view(variables, images, segs, obj_ids):
+            """A CHUNK of views: (Vc, H, W, 3) + (Vc, H, W) seg + (K,) ids
+            -> (Vc, K, C) prompt-averaged cls embeddings (reference
+            extractor.py:370-466: K objects x L prompts, mean over prompts
+            :413-418), one batched ViT forward over Vc*K*L prompts.
+
+            Takes RAW seg images and builds masks on device: shipping
+            (K, H, W) boolean masks per view costs ~10 MB x 73 views x K
+            over the host link and dominated ingest time."""
+
+            def one_view(image, seg):
+                masks = seg[None, :, :] == obj_ids[:, None, None]
+                return build_prompts(
+                    image, masks, kinds=self.visual_prompt,
+                    crop_num_levels=self.crop_num_levels,
+                    crop_expansion_ratio=self.crop_expansion_ratio,
+                    blur_kernel=self.blur_kernel, out_hw=self.img_resize)
+
+            prompts = jax.lax.map(lambda ab: one_view(*ab), (images, segs))
+            vc, k, l = prompts.shape[:3]
+            flat = prompts.reshape(vc * k * l, *prompts.shape[3:])
             emb = self.model.apply(variables, flat, method="encode_image")
-            return emb.reshape(k, l, -1).mean(axis=1)
+            return emb.reshape(vc, k, l, -1).mean(axis=2)
 
         self._encode_cls = _encode_cls
         self._encode_patch = _encode_patch
@@ -115,7 +125,8 @@ class ClipExtractor:
             outs.append(encode(self.variables, batch))
         return jnp.concatenate(outs, axis=0)
 
-    def extract_obj_prior(self, images, seg_masks, obj_ids) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def extract_obj_prior(self, images, seg_masks, obj_ids,
+                          bucket: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Per-view per-object prompt-averaged embeddings.
 
         images: (V, H, W, 3) uint8; seg_masks: (V, H, W) int instance ids;
@@ -125,20 +136,38 @@ class ClipExtractor:
         Returns (feats (V, K, C), present (V, K) bool). Rows absent from a
         view (id not in that view's seg) are computed-and-masked rather
         than skipped (static shapes; reference extractor.py:389-395 skips).
+        To bound the waste, the per-view program runs at the count of ids
+        PRESENT ANYWHERE in the scene rounded up to ``bucket`` (one compile
+        per bucket size), and rows beyond K are zero-padded.
         """
         images = np.asarray(images)
         seg = np.asarray(seg_masks)
         obj_ids = np.asarray(obj_ids)
-        v = images.shape[0]
+        v, k = images.shape[0], len(obj_ids)
         present = np.stack([np.isin(obj_ids, np.unique(seg[i])[1:])
                             for i in range(v)])
+        anywhere = present.any(axis=0)
+        n_used = int(anywhere.sum())
+        kb = min(k, max(bucket, ((n_used + bucket - 1) // bucket) * bucket))
+        used_rows = np.argsort(~anywhere, kind="stable")[:kb]  # present first
+        ids_dev = jnp.asarray(obj_ids[used_rows])
+
+        # view chunks of 4: amortizes dispatch latency and fills the MXU
+        # with one Vc*K-prompt ViT forward per call
+        vc = 4
+        pad_v = (-v) % vc
+        images_p = np.concatenate([images, np.repeat(images[-1:], pad_v, 0)]) \
+            if pad_v else images
+        seg_p = np.concatenate([seg, np.repeat(seg[-1:], pad_v, 0)]) \
+            if pad_v else seg
         feats = []
-        for i in range(v):
-            masks = jnp.asarray(seg[i])[None, :, :] == jnp.asarray(
-                obj_ids)[:, None, None]
-            feats.append(self._obj_prior_view(self.variables,
-                                              jnp.asarray(images[i]), masks))
-        out = jnp.stack(feats)  # (V, K, C)
+        for i in range(0, v + pad_v, vc):
+            feats.append(self._obj_prior_view(
+                self.variables, jnp.asarray(images_p[i: i + vc]),
+                jnp.asarray(seg_p[i: i + vc]), ids_dev))
+        packed = jnp.concatenate(feats)[:v]  # (V, Kb, C)
+        out = jnp.zeros((v, k, packed.shape[-1]), packed.dtype
+                        ).at[:, used_rows].set(packed)
         return out * jnp.asarray(present)[..., None], jnp.asarray(present)
 
     def encode_text(self, texts: Sequence[str]) -> jnp.ndarray:

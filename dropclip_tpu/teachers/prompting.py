@@ -125,13 +125,23 @@ def crop_pad_resize(image: jnp.ndarray, box: jnp.ndarray, bg: jnp.ndarray,
     gy = jnp.clip(cy + y1, 0, H - 1).astype(jnp.int32)
     gx = jnp.clip(cx + x1, 0, W - 1).astype(jnp.int32)
 
-    # gather (oh, 4, ow, 4, 3)
+    # SEPARABLE two-pass resample with ROW-granular gathers: a single
+    # (oh, 4, ow, 4) tap gather hits TPU's slow scattered-gather path
+    # (~0.4 s per view at 480x640); full-row gathers run at memory speed.
+    # Exact because cubic weights sum to 1, so the out-of-crop background
+    # factors through the vertical pass unchanged.
     img_f = image.astype(jnp.float32)
-    taps = img_f[gy[:, :, None, None], gx[None, None, :, :]]
-    inside = (in_y[:, :, None, None] & in_x[None, None, :, :])[..., None]
-    taps = jnp.where(inside, taps, bg)
-    out = jnp.einsum("yaxbc,ya,xb->yxc", taps, wy, wx)
-    return out
+    rows = img_f[gy.reshape(-1)]                    # (oh*4, W, 3)
+    rows = rows.reshape(oh, 4, W, 3)
+    rows = jnp.where(in_y[:, :, None, None], rows, bg)
+    r = jnp.einsum("yawc,ya->ywc", rows, wy)        # (oh, W, 3)
+
+    rt = r.transpose(1, 0, 2)                       # (W, oh, 3)
+    cols = rt[gx.reshape(-1)]                       # (ow*4, oh, 3)
+    cols = cols.reshape(ow, 4, oh, 3)
+    cols = jnp.where(in_x[:, :, None, None], cols, bg)
+    out = jnp.einsum("xboc,xb->xoc", cols, wx)      # (ow, oh, 3)
+    return out.transpose(1, 0, 2)
 
 
 def resize_image(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:

@@ -1,0 +1,79 @@
+"""Raw MV-TOD reader + full Blender ingest e2e on a synthetic raw tree
+written in the exact reference on-disk layout."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from dropclip_tpu.data.blender import BlenderDataset
+from dropclip_tpu.data.synthetic import write_fake_raw_blender
+
+
+@pytest.fixture(scope="module")
+def raw_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("raw_blender"))
+    write_fake_raw_blender(root, n_scenes=1, n_objects=2, n_views=3)
+    return root
+
+
+def test_reader(raw_root):
+    ds = BlenderDataset(raw_root, split="train")
+    assert len(ds.scene_ids) == 1
+    scene = ds[0]
+    assert len(scene["views"]) == 3
+    v0 = scene["views"]["0000"]
+    assert v0["rgb"].shape == (48, 64, 3)
+    assert v0["depth"].dtype == np.float32
+    assert len(v0["annos"]) >= 1
+    cls_name, mask, hex_id = v0["annos"][0]
+    assert mask.dtype == np.uint8 and mask.shape == (48, 64)
+    # instance ids assigned 1..K, hex mapping consistent
+    assert scene["col_to_ins"]["#000000"] == 0
+    assert set(scene["objects_info"]) == {0, 1, 2}
+    # intrinsics from base_scale=10 (reference blender.py:180-187)
+    assert abs(scene["camera_intrinsic"]["fx"] - 444.44444444) < 1e-6
+    segs, ids = BlenderDataset.obtain_seg_info(scene)
+    assert segs[0].shape == (48, 64)
+    assert set(np.unique(segs[0])) <= {0, 1, 2}
+
+
+def test_blender_ingest_e2e(raw_root, tmp_path):
+    """run_blender: raw tree -> teacher -> fusion -> processed h5 ->
+    MVTODDataset item."""
+    import sys
+
+    from dropclip_tpu.tools import preprocess_data as pp
+
+    out = str(tmp_path / "processed")
+    argv = ["preprocess_data", "-ds", "Blender", "-r", raw_root, "-c", out,
+            "--clip-model", "tiny-test", "--voxel-size", "0.002"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        pp.main()
+    finally:
+        sys.argv = old
+
+    path = os.path.join(out, "train", "000000", "000000.h5py")
+    assert os.path.isfile(path)
+    from dropclip_tpu.data.scene_io import read_scene
+
+    s = read_scene(path)
+    assert s.obj_feats.shape[0] == 3  # table + 2 objects
+    assert s.xyz.shape[0] == s.vis_mask.shape[1] > 0
+    assert not np.any(np.isnan(s.obj_feats))
+
+    from dropclip_tpu.core.config import CfgNode
+    from dropclip_tpu.data.dataset_blender import MVTODDataset
+
+    cfg = CfgNode(dict(root_dir=out, voxel_size=0.002, voxel_capacity=512,
+                       use_full_pc=False, use_k_views=2, use_color=True,
+                       use_augmentation=False, eval_scenario="cls",
+                       manual_seed=42))
+    ds = MVTODDataset(cfg, "train")
+    item = ds[0]
+    assert item["mask"].sum() > 10
+    assert item["targets"].shape[-1] == 16
