@@ -33,13 +33,21 @@ def unproject_views(
 
     Returns (points (V*H*W, 3), colors, labels, valid). Valid pixels have
     0 < depth < depth_trunc (o3d RGBD semantics, geometry.py:138-152).
+    uint8 rgbs are converted to 0..1 floats on device (ship the small
+    dtype over the host link).
     """
 
+    from .transforms import transform_pointcloud_to_world_frame
+
     def one(depth, rgb, seg, pose):
+        rgb = (rgb.astype(jnp.float32) / 255.0
+               if rgb.dtype == jnp.uint8 else rgb)
         cam = depth_to_pointcloud(depth, K)
         cam = flip_yz(cam)  # T_cam diag(1,-1,-1) (geometry.py:131-133)
-        h = jnp.concatenate([cam, jnp.ones((cam.shape[0], 1), cam.dtype)], -1)
-        world = jnp.einsum("ij,nj->ni", pose.astype(cam.dtype), h)[:, :3]
+        # _apply44 under the hood — einsum here hits the TPU batched
+        # tiny-K matmul miscompile when vmapped over many views (see
+        # geom.transforms._apply44)
+        world = transform_pointcloud_to_world_frame(cam, pose)
         d = depth.reshape(-1)
         valid = (d > 0) & (d < depth_trunc)
         return world, rgb.reshape(-1, rgb.shape[-1]), seg.reshape(-1), valid

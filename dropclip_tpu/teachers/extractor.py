@@ -126,7 +126,8 @@ class ClipExtractor:
         return jnp.concatenate(outs, axis=0)
 
     def extract_obj_prior(self, images, seg_masks, obj_ids,
-                          bucket: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                          bucket: int = 8,
+                          present_hint=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Per-view per-object prompt-averaged embeddings.
 
         images: (V, H, W, 3) uint8; seg_masks: (V, H, W) int instance ids;
@@ -140,11 +141,16 @@ class ClipExtractor:
         PRESENT ANYWHERE in the scene rounded up to ``bucket`` (one compile
         per bucket size), and rows beyond K are zero-padded.
         """
-        images = np.asarray(images)
-        seg = np.asarray(seg_masks)
+        # images/seg_masks may already live on device (preferred: the
+        # ingest path ships them once); present needs host-side uniques,
+        # so pass the host copy via present_hint to avoid a D2H fetch.
+        images = jnp.asarray(images)
+        seg = jnp.asarray(seg_masks)
+        seg_host = np.asarray(present_hint if present_hint is not None
+                              else seg)
         obj_ids = np.asarray(obj_ids)
         v, k = images.shape[0], len(obj_ids)
-        present = np.stack([np.isin(obj_ids, np.unique(seg[i])[1:])
+        present = np.stack([np.isin(obj_ids, np.unique(seg_host[i])[1:])
                             for i in range(v)])
         anywhere = present.any(axis=0)
         n_used = int(anywhere.sum())
@@ -156,15 +162,15 @@ class ClipExtractor:
         # with one Vc*K-prompt ViT forward per call
         vc = 4
         pad_v = (-v) % vc
-        images_p = np.concatenate([images, np.repeat(images[-1:], pad_v, 0)]) \
+        images_p = jnp.concatenate([images, jnp.repeat(images[-1:], pad_v, 0)]) \
             if pad_v else images
-        seg_p = np.concatenate([seg, np.repeat(seg[-1:], pad_v, 0)]) \
+        seg_p = jnp.concatenate([seg, jnp.repeat(seg[-1:], pad_v, 0)]) \
             if pad_v else seg
         feats = []
         for i in range(0, v + pad_v, vc):
             feats.append(self._obj_prior_view(
-                self.variables, jnp.asarray(images_p[i: i + vc]),
-                jnp.asarray(seg_p[i: i + vc]), ids_dev))
+                self.variables, images_p[i: i + vc],
+                seg_p[i: i + vc], ids_dev))
         packed = jnp.concatenate(feats)[:v]  # (V, Kb, C)
         out = jnp.zeros((v, k, packed.shape[-1]), packed.dtype
                         ).at[:, used_rows].set(packed)

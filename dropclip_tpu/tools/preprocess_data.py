@@ -78,10 +78,18 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
     assert n_real <= max_objects, (n_real, max_objects)
     h, w = depths.shape[1:]
 
+    # ship every big array over the host link ONCE (the link runs at
+    # ~55 MB/s through the tunnel; re-shipping depths/segs/images per
+    # stage dominated ingest time), in the smallest dtype
+    dev_depths = jax.device_put(np.asarray(depths, np.float32))
+    dev_segs = jax.device_put(np.asarray(segs, np.int32))
+    dev_images = jax.device_put(np.asarray(images, np.uint8))
+    dev_poses = jax.device_put(np.asarray(poses, np.float32))
+    dev_K = jax.device_put(np.asarray(K, np.float32))
+
     # 1) aggregate views -> labeled voxel cloud (geometry.py:120-204)
     xyz, rgb, labels, mask = _agg_jit(
-        jnp.asarray(depths), jnp.asarray(images, jnp.float32) / 255.0,
-        jnp.asarray(segs), jnp.asarray(poses), jnp.asarray(K),
+        dev_depths, dev_images, dev_segs, dev_poses, dev_K,
         voxel_size=voxel_size, capacity=cloud_capacity,
         num_labels=max_objects)
     keep = np.asarray(mask) & (np.asarray(labels) != 0)  # drop table+pad
@@ -90,7 +98,8 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
     # 2) per-(view, object) teacher features with visual prompts
     t0 = time.time()
     obj_feats, present = extractor.extract_obj_prior(
-        images, segs, obj_ids=np.arange(max_objects))
+        dev_images, dev_segs, obj_ids=np.arange(max_objects),
+        present_hint=segs)
     t_clip = time.time() - t0
 
     # 3) text queries + object-level fusion (padded cloud + padded objects)
@@ -103,10 +112,8 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
     cfg = FusionConfig(image_hw=(h, w), visibility_threshold=vis_threshold,
                        use_visibility=use_visibility,
                        use_similarity=use_similarity, sim_kernel=sim_kernel)
-    fused = _fuse_jit(xyz, jnp.asarray(depths), jnp.asarray(segs),
-                           jnp.asarray(poses), obj_feats, present,
-                           query_embs, jnp.asarray(K), cfg,
-                           obj_valid=obj_valid)
+    fused = _fuse_jit(xyz, dev_depths, dev_segs, dev_poses, obj_feats,
+                      present, query_embs, dev_K, cfg, obj_valid=obj_valid)
     obj_out = np.array(fused.obj_features[:n_real])
     # NaN objects (never fused) -> their text embedding (reference :277-282)
     nan_rows = np.any(np.isnan(obj_out), axis=-1)
