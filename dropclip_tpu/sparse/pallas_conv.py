@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: fused halo-gather + submanifold brick convolution.
+
+The XLA path (sparse.bricks.brick_conv) materializes a (Bm, 6, 6, 6, C)
+halo tensor in HBM between the 27 neighbor gathers and the dense conv —
+measured ~12 ms of pure HBM round-trip per heavy conv on top of the
+~29 ms MXU-bound conv. This kernel fuses them: for each tile of output
+bricks it DMAs the 27 neighbor bricks straight into VMEM, builds the halo
+in scratch, and runs the 27 offset matmuls from VMEM, so halo bytes never
+touch HBM.
+
+Layout: feats (Bm+1, 64, C) bf16 (row Bm = zero padding for misses),
+nbr (Bm, 27) int32 (miss -> Bm), weights (27, C, Cout). Output
+(Bm, 64, Cout) in feats dtype, masked by occupancy outside the kernel.
+
+Status (measured, v5e): 68 ms vs the XLA path's 39 ms amortized on the
+(8192 bricks, C=384) hot shape — XLA's dense conv already runs at MXU
+peak and this kernel's sequential per-brick DMA waits + halo pad/sum
+assembly cost more than the HBM halo round-trip they avoid. Kept as an
+OPT-IN backend: it is the foundation for fusing BN/ReLU epilogues and
+double-buffered DMA into the conv, which XLA cannot express.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bricks import BS, BV, _NBR_OFFSETS
+
+
+def _halo_ranges(pad: int = 1):
+    """Static (src, dst) slab ranges per neighbor direction (halo build)."""
+    def rng(d):
+        if d == -1:
+            return (BS - pad, BS), (0, pad)
+        if d == 0:
+            return (0, BS), (pad, pad + BS)
+        return (0, pad), (pad + BS, pad + BS + pad)
+
+    out = []
+    for (dx, dy, dz) in _NBR_OFFSETS:
+        (sx0, sx1), (tx0, tx1) = rng(int(dx))
+        (sy0, sy1), (ty0, ty1) = rng(int(dy))
+        (sz0, sz1), (tz0, tz1) = rng(int(dz))
+        out.append(((sx0, sx1, sy0, sy1, sz0, sz1),
+                    (tx0, tx1, ty0, ty1, tz0, tz1)))
+    return out
+
+
+def _conv_taps():
+    """For each of the 27 kernel offsets (-1..1), the slab origin in halo
+    space: output voxel x (halo position x+1) reads offset o at halo
+    x+1+o, so the 4-wide slab starts at o+1 in [0, 2]."""
+    return [tuple(int(o) + 1 for o in off) for off in _NBR_OFFSETS]
+
+
+TILE = 8  # bricks per grid step (SMEM blocks need dim -2 % 8 == 0)
+
+
+def _kernel(nbr_ref, feats_hbm, w_ref, out_ref, nbrs, sems):
+    """Grid: (Bm // TILE,) — TILE output bricks per step, processed
+    sequentially against one (27, 64, C) VMEM scratch.
+
+    nbr_ref: (TILE, 27) int32 SMEM block of this step's neighbor rows.
+    feats_hbm: (Bm+1, 64, C) in ANY/HBM — 27 whole-brick DMAs per brick
+    (aligned full-row writes only: Mosaic clobbers neighbors on partial
+    sublane-tile stores, so the halo is assembled as a VALUE, never via
+    sliced ref writes).
+    w_ref: (27, C, Cout) VMEM. out_ref: (TILE, 64, Cout) VMEM block.
+    nbrs: VMEM scratch (27, 64, C); sems: 27 DMA semaphores.
+
+    The center entry of a real neighbor table is the brick itself
+    (nbr[:, 13] == row), matching sparse.bricks.halo_exchange.
+    """
+    c = nbrs.shape[-1]
+    ranges = _halo_ranges(1)
+
+    for b in range(TILE):
+        for k in range(27):
+            pltpu.make_async_copy(feats_hbm.at[nbr_ref[b, k]], nbrs.at[k],
+                                  sems.at[k]).start()
+        for k in range(27):
+            pltpu.make_async_copy(feats_hbm.at[nbr_ref[b, k]], nbrs.at[k],
+                                  sems.at[k]).wait()
+
+        blocks = nbrs[...].reshape(27, BS, BS, BS, c)
+
+        # halo value (6, 6, 6, C): pad each slab to halo shape and SUM —
+        # regions are disjoint so the sum is an exact assembly, and
+        # pad+add avoids Mosaic's concatenate (observed to misplace the
+        # full center block when concatenated with 1-wide slabs).
+        halo = jnp.zeros((BS + 2, BS + 2, BS + 2, c), blocks.dtype)
+        for k in range(27):
+            (sx0, sx1, sy0, sy1, sz0, sz1), (tx0, tx1, ty0, ty1, tz0, tz1) \
+                = ranges[k]
+            slab = blocks[k, sx0:sx1, sy0:sy1, sz0:sz1, :]
+            halo = halo + jnp.pad(
+                slab, ((tx0, BS + 2 - tx1), (ty0, BS + 2 - ty1),
+                       (tz0, BS + 2 - tz1), (0, 0)))
+
+        # conv: out[x,y,z] = sum_k halo[x+ox, y+oy, z+oz] @ W[k]
+        acc = jnp.zeros((BV, w_ref.shape[-1]), jnp.float32)
+        for k, (ox, oy, oz) in enumerate(_conv_taps()):
+            slab = halo[ox:ox + BS, oy:oy + BS, oz:oz + BS, :].reshape(BV, c)
+            acc += jnp.dot(slab, w_ref[k], preferred_element_type=jnp.float32)
+        out_ref[b] = acc.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_brick_conv3(feats: jnp.ndarray, nbr: jnp.ndarray,
+                       weights: jnp.ndarray, occ: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused k3 submanifold brick conv.
+
+    feats: (Bm, 4, 4, 4, C); nbr: (Bm, 27) int32 (miss -> Bm);
+    weights: (27, C, Cout); occ: (Bm, 4, 4, 4) bool. Returns
+    (Bm, 4, 4, 4, Cout) masked to occupancy. C and Cout must be multiples
+    of 128 (Mosaic lane tiling).
+    """
+    bm = feats.shape[0]
+    c = feats.shape[-1]
+    cout = weights.shape[-1]
+    assert c % 128 == 0 and cout % 128 == 0, (c, cout)
+    assert bm % TILE == 0, (bm, TILE)
+    fz = jnp.concatenate(
+        [feats.reshape(bm, BV, c),
+         jnp.zeros((1, BV, c), feats.dtype)], axis=0)
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((bm, BV, cout), feats.dtype),
+        interpret=interpret,
+        grid=(bm // TILE,),
+        in_specs=[
+            # per-step neighbor rows in SMEM (the full table would blow
+            # the 1 MB SMEM scalar-prefetch budget at realistic brick
+            # counts; it is only read in the body, never in an index_map)
+            pl.BlockSpec((TILE, 27), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # feats stay in HBM
+            pl.BlockSpec((27, c, cout), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, BV, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((27, BV, c), feats.dtype),
+            pltpu.SemaphoreType.DMA((27,)),
+        ],
+    )(nbr, fz, weights.astype(feats.dtype))
+    out = out.reshape(bm, BS, BS, BS, cout)
+    return out * occ[..., None].astype(out.dtype)
