@@ -56,6 +56,31 @@ class LayerNormF32(nn.Module):
         return (y * scale + bias).astype(dtype)
 
 
+def _flash_attention(q, k, v, causal: bool):
+    """Pallas TPU flash attention with seq padded to 128 multiples and
+    segment-id masking for the pad (the XLA attention path materializes
+    (B, H, T, T) logits in HBM — the ViT-L teacher ran at ~10 TF/s on it;
+    flash with full-row q blocks measures ~15 TF/s at T=769, D=64)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, t, h, d = q.shape
+    tp = ((t + 127) // 128) * 128
+    pad = tp - t
+    qt = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    kt = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    vt = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    seg = jnp.concatenate([jnp.zeros((b, t), jnp.int32),
+                           jnp.ones((b, pad), jnp.int32)], axis=1)
+    bs = BlockSizes(block_q=tp, block_k_major=tp, block_k=128, block_b=1,
+                    block_q_major_dkv=tp, block_k_major_dkv=tp,
+                    block_q_dkv=tp, block_k_dkv=128,
+                    block_q_dq=tp, block_k_dq=tp, block_k_major_dq=tp)
+    out = flash_attention(qt, kt, vt, segment_ids=SegmentIds(q=seg, kv=seg),
+                          causal=causal, sm_scale=d ** -0.5, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)[:, :t]
+
+
 class MultiHeadAttention(nn.Module):
     """Standard MHA with separate q/k/v/out projections (converter-friendly
     for both the OpenAI fused-in_proj and HF split layouts)."""
@@ -63,6 +88,7 @@ class MultiHeadAttention(nn.Module):
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         dense = lambda name: nn.Dense(self.width, dtype=self.dtype, name=name)
@@ -77,16 +103,11 @@ class MultiHeadAttention(nn.Module):
         q = self.q_proj(x).reshape(b, t, self.heads, hd)
         k = self.k_proj(x).reshape(b, t, self.heads, hd)
         v = self.v_proj(x).reshape(b, t, self.heads, hd)
-        # f32 logits + softmax regardless of activation dtype.
-        logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits * (hd ** -0.5)
-        if causal:
-            neg = jnp.finfo(jnp.float32).min
-            mask = jnp.tril(jnp.ones((t, t), bool))
-            logits = jnp.where(mask, logits, neg)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhc->bqhc", probs, v).reshape(b, t, d)
+        if self.use_flash:
+            out = _flash_attention(q, k, v, causal)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
+        out = out.reshape(b, t, d)
         return self.out_proj(out)
 
     def value_path(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -98,10 +119,13 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         self.ln_1 = LayerNormF32()
-        self.attn = MultiHeadAttention(self.width, self.heads, dtype=self.dtype)
+        self.attn = MultiHeadAttention(self.width, self.heads,
+                                       dtype=self.dtype,
+                                       use_flash=self.use_flash)
         self.ln_2 = LayerNormF32()
         self.c_fc = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")
         self.c_proj = nn.Dense(self.width, dtype=self.dtype, name="c_proj")
@@ -126,6 +150,7 @@ class CLIPVisionTransformer(nn.Module):
     embed_dim: int
     image_resolution: int  # square training resolution defining pos-embed grid
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         scale = self.width ** -0.5
@@ -141,6 +166,7 @@ class CLIPVisionTransformer(nn.Module):
         self.ln_pre = LayerNormF32()
         self.blocks = [ResidualAttentionBlock(self.width, self.heads,
                                               dtype=self.dtype,
+                                              use_flash=self.use_flash,
                                               name=f"block_{i}")
                        for i in range(self.layers)]
         self.ln_post = LayerNormF32()
@@ -197,6 +223,7 @@ class CLIPTextTransformer(nn.Module):
     context_length: int
     embed_dim: int
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         self.token_embedding = nn.Embed(self.vocab_size, self.width,
@@ -249,6 +276,7 @@ class CLIP(nn.Module):
     transformer_layers: int
     vision_heads: Optional[int] = None  # default: width // 64 (OpenAI rule)
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         self.visual = CLIPVisionTransformer(
@@ -256,7 +284,7 @@ class CLIP(nn.Module):
             heads=self.vision_heads or self.vision_width // 64,
             patch_size=self.vision_patch_size,
             embed_dim=self.embed_dim, image_resolution=self.image_resolution,
-            dtype=self.dtype, name="visual")
+            dtype=self.dtype, use_flash=self.use_flash, name="visual")
         self.text = CLIPTextTransformer(
             width=self.transformer_width, layers=self.transformer_layers,
             heads=self.transformer_heads, vocab_size=self.vocab_size,
@@ -315,8 +343,13 @@ CLIP_CONFIGS = {
 }
 
 
-def build_clip(name: str, dtype: Dtype = jnp.float32) -> CLIP:
+def build_clip(name: str, dtype: Dtype = jnp.float32,
+               use_flash: Optional[bool] = None) -> CLIP:
     if name not in CLIP_CONFIGS:
         raise ValueError(f"unknown CLIP config {name!r}; "
                          f"have {sorted(CLIP_CONFIGS)}")
-    return CLIP(dtype=dtype, **CLIP_CONFIGS[name])
+    if use_flash is None:
+        import jax as _jax
+
+        use_flash = _jax.default_backend() == "tpu"
+    return CLIP(dtype=dtype, use_flash=use_flash, **CLIP_CONFIGS[name])

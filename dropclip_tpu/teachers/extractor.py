@@ -74,6 +74,10 @@ class ClipExtractor:
             return out.reshape(out.shape[0], ph, pw, out.shape[-1])
 
         @jax.jit
+        def _encode_text(variables, toks):
+            return self.model.apply(variables, toks, method="encode_text")
+
+        @jax.jit
         def _preprocess(images):
             x = resize_image(images.astype(jnp.float32), self.img_resize)
             return normalize(x / 255.0, CLIP_MEAN, CLIP_STD)
@@ -104,6 +108,7 @@ class ClipExtractor:
             return emb.reshape(vc, k, l, -1).mean(axis=2)
 
         self._encode_cls = _encode_cls
+        self._encode_text_jit = _encode_text
         self._encode_patch = _encode_patch
         self._preprocess = _preprocess
         self._obj_prior_view = _obj_prior_view
@@ -177,8 +182,20 @@ class ClipExtractor:
         return out * jnp.asarray(present)[..., None], jnp.asarray(present)
 
     def encode_text(self, texts: Sequence[str]) -> jnp.ndarray:
-        """(Q,) prompts -> (Q, C) UNnormalized text embeddings."""
+        """(Q,) prompts -> (Q, C) UNnormalized text embeddings.
+
+        Jitted with the batch padded to a multiple of 8 (unjitted eager
+        dispatch of the text tower costs seconds per call; padding bounds
+        recompiles to a handful of bucket sizes)."""
         from .tokenizer import tokenize
 
-        toks = jnp.asarray(tokenize(list(texts)))
-        return self.model.apply(self.variables, toks, method="encode_text")
+        toks = tokenize(list(texts))
+        n = toks.shape[0]
+        # coarse buckets (multiples of 32): every distinct padded size is
+        # a fresh ~8 s text-tower compile, and per-scene prompt counts
+        # vary scene to scene
+        pad = (-n) % 32
+        if pad:
+            toks = np.concatenate([toks, np.tile(toks[-1:], (pad, 1))])
+        out = self._encode_text_jit(self.variables, jnp.asarray(toks))
+        return out[:n]

@@ -50,11 +50,15 @@ def embed_fusion_queries(extractor: ClipExtractor, obj_info: Dict,
     queries = {0: ["table"],
                **prepare_fusion_queries(
                    {k: v for k, v in obj_info.items() if k > 0}, scenario)}
-    embs = []
-    for k in sorted(queries):
-        e = extractor.encode_text(queries[k])
-        embs.append(jnp.mean(e, axis=0))
-    q = jnp.stack(embs)
+    # one batched text-encoder call for the whole scene (a call per
+    # object costs seconds each through the host link)
+    keys = sorted(queries)
+    flat, spans = [], []
+    for k in keys:
+        spans.append((len(flat), len(queries[k])))
+        flat.extend(queries[k])
+    embs_flat = extractor.encode_text(flat)
+    q = jnp.stack([jnp.mean(embs_flat[s: s + n], axis=0) for s, n in spans])
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
