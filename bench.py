@@ -181,9 +181,75 @@ def main_fusion():
     }
 
 
+def main_train():
+    """Distillation train-step throughput (scenes/sec) at recipe shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from dropclip_tpu.core.config import CfgNode
+    from dropclip_tpu.distill.engine import (DistilBatch, build_student_for,
+                                             build_topology, make_train_step)
+    from dropclip_tpu.distill.train_state import (create_train_state,
+                                                  make_optimizer)
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    b, m = (2, 256) if smoke else (8, 8192)
+    cfg = CfgNode(dict(arch_3d="MinkUNet14A" if smoke else "MinkUNet14D",
+                       feat_dim=16 if smoke else 768, loss_type="cosine",
+                       base_lr=3e-4, min_lr=1e-4, epochs=200,
+                       weight_decay=1e-5, max_norm=5.0))
+    rng = np.random.RandomState(0)
+    ext = 8 if smoke else 40
+    coords_list, mask_list = [], []
+    n_occ = 128 if smoke else 6000
+    for _ in range(b):
+        xy = rng.randint(-ext, ext, size=(3 * n_occ, 2))
+        z = rng.randint(0, 2, size=(3 * n_occ, 1))
+        pts = np.concatenate([xy, z], axis=1).astype(np.int32)
+        uniq = np.unique(pts, axis=0)[:n_occ]
+        c = np.zeros((m, 3), np.int32)
+        c[: len(uniq)] = uniq
+        k = np.zeros((m,), bool)
+        k[: len(uniq)] = True
+        coords_list.append(c)
+        mask_list.append(k)
+    coords = jnp.asarray(np.stack(coords_list))
+    mask = jnp.asarray(np.stack(mask_list))
+    # bf16 activations = the TPU analogue of the reference's AMP fp16
+    # recipe (tools/train_distil.py:136); loss/BN stats stay f32 inside
+    feats = (jnp.asarray(rng.randn(b, m, 6).astype(np.float32))
+             * mask[..., None]).astype(jnp.bfloat16)
+    targets = jnp.asarray(
+        rng.randn(b, m, int(cfg.feat_dim)).astype(np.float32)) * mask[..., None]
+    labels = jnp.zeros((b, m), jnp.int32)
+    batch = DistilBatch(coords, mask, feats, targets, labels, labels)
+
+    model = build_student_for(cfg)
+    topo = build_topology(cfg, coords, mask)
+    tx = make_optimizer(cfg, 100)
+    state = create_train_state(model, topo, feats, tx)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+
+    state, metrics = step(state, batch)
+    _ = float(metrics["distil_loss"])  # compile+sync
+    iters = 3 if smoke else 15
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch)
+        _ = float(metrics["distil_loss"])
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    return {"metric": "train_scenes_per_sec", "value": round(b / p50, 2),
+            "unit": "scenes/sec", "vs_baseline": round(b / p50 / 16.0, 3)}
+    # reference train recipe: global batch 8 on DDP GPUs; ~16 scenes/sec
+    # is a generous single-GPU MinkowskiEngine estimate
+
+
 def main():
     mode = os.environ.get("BENCH_METRIC", "fusion")
-    result = main_fusion() if mode == "fusion" else main_infer()
+    result = {"fusion": main_fusion, "infer": main_infer,
+              "train": main_train}[mode]()
     print(json.dumps(result))
 
 

@@ -58,3 +58,32 @@ def shard_batch_pytree(tree, mesh: Mesh):
     """Device-put a host pytree with leading batch dims onto the data axis."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def all_reduce_mean_host(values):
+    """Mean of per-process scalar metrics across JAX processes (replaces
+    the reference's dist.all_reduce-then-divide, engine/distil.py:475-493).
+    Single-process: identity."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return values
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    arr = jnp.asarray(np.asarray(values, np.float32))
+    return np.asarray(
+        multihost_utils.process_allgather(arr)).mean(axis=0)
+
+
+def concat_all_gather_host(array):
+    """Concatenate a per-process array across processes (replaces the
+    reference's concat_all_gather, utils/misc.py:85-97)."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return array
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(jax.numpy.asarray(array))
+    return np.asarray(gathered).reshape((-1,) + tuple(array.shape[1:]))

@@ -281,10 +281,12 @@ def brick_conv(feats: jnp.ndarray, level: BrickLevel, weights: jnp.ndarray,
     cin, cout = weights.shape[-2:]
     w = weights.reshape(ksize, ksize, ksize, cin, cout)
     halo = halo_exchange(feats, level.nbr, pad=pad)
+    # no preferred_element_type: the MXU accumulates in f32 regardless,
+    # and a widened output dtype breaks the conv's weight-gradient rule
+    # under bf16 training (mixed-dtype transpose conv)
     out = jax.lax.conv_general_dilated(
         halo, w.astype(feats.dtype), window_strides=(1, 1, 1),
-        padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32).astype(feats.dtype)
+        padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     return out * level.occ[..., None].astype(feats.dtype)
 
 
@@ -307,8 +309,7 @@ def brick_down_conv(fine_feats: jnp.ndarray, group_map: jnp.ndarray,
     w = weights.reshape(2, 2, 2, cin, cout)
     out = jax.lax.conv_general_dilated(
         grp, w.astype(grp.dtype), window_strides=(2, 2, 2), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32).astype(grp.dtype)
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     return out * coarse.occ[..., None].astype(out.dtype)
 
 
@@ -343,9 +344,7 @@ def brick_up_conv(coarse_feats: jnp.ndarray, parent_map: jnp.ndarray,
     sub = pick(sub, octant[:, 2].astype(bool), 3)  # (Bmf, 2,2,2, Cin)
 
     # upsample: fine voxel 2c+o of the brick gets W[o] . parent_sub[c]
-    up = jnp.einsum("bxyzc,kcd->bxyzkd", sub,
-                    weights.astype(sub.dtype),
-                    preferred_element_type=jnp.float32).astype(sub.dtype)
+    up = jnp.einsum("bxyzc,kcd->bxyzkd", sub, weights.astype(sub.dtype))
     up = up.reshape(-1, 2, 2, 2, 2, 2, 2, cout)
     up = up.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
         -1, BS, BS, BS, cout)

@@ -138,6 +138,10 @@ class MinkUNetBricks(nn.Module):
     dropout_rate: float = 0.0
     use_cls_head: bool = False
     n_classes: int = 0
+    remat: bool = True  # rematerialize blocks in backward (trades ~30%
+    # extra forward FLOPs for not holding halo/conv activations: the full
+    # MinkUNet14D train step at batch 8 x 8192 voxels exceeds 16 GB HBM
+    # without it). No effect on inference.
 
     def _dropout(self, x, train):
         if self.dropout_rate > 0:
@@ -146,6 +150,8 @@ class MinkUNetBricks(nn.Module):
 
     def _stage(self, name, x, level, n_blocks, planes, train):
         block_cls, _ = _BLOCKS_B[self.block]
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(3,))
         for i in range(n_blocks):
             x = block_cls(planes, name=f"{name}_{i}")(x, level, train)
         return x
@@ -156,17 +162,20 @@ class MinkUNetBricks(nn.Module):
         P, L = self.planes, self.layers
         lvls = topo.levels
         cap0 = lvls[0].occ.shape[1]
+        conv_c = nn.remat(BConv) if self.remat else BConv
+        down_c = nn.remat(BConvDown) if self.remat else BConvDown
+        up_c = nn.remat(BConvUp) if self.remat else BConvUp
 
         dense = jax.vmap(lambda f, r, w: scatter_points(f, r, w, cap0))(
             x, topo.point_row, topo.point_within)
 
-        out = BConv(self.init_dim, ksize=5, name="conv0p1s1")(dense, lvls[0])
+        out = conv_c(self.init_dim, ksize=5, name="conv0p1s1")(dense, lvls[0])
         out_p1 = jax.nn.relu(_bn("bn0", out, lvls[0].occ, train))
 
         skips = []
         out = out_p1
         for s in range(4):
-            out = BConvDown(out.shape[-1], name=f"conv{s+1}")(
+            out = down_c(out.shape[-1], name=f"conv{s+1}")(
                 out, topo.group_maps[s], lvls[s + 1])
             out = jax.nn.relu(_bn(f"bn{s+1}", out, lvls[s + 1].occ, train))
             out = self._dropout(
@@ -177,7 +186,7 @@ class MinkUNetBricks(nn.Module):
         skip_feats = [skips[2], skips[1], skips[0], out_p1]
         for d in range(4):
             lvl = 3 - d
-            out = BConvUp(P[4 + d], name=f"convtr{4+d}")(
+            out = up_c(P[4 + d], name=f"convtr{4+d}")(
                 out, topo.parent_maps[lvl], topo.octants[lvl], lvls[lvl])
             out = jax.nn.relu(_bn(f"bntr{4+d}", out, lvls[lvl].occ, train))
             out = jnp.concatenate([out, skip_feats[d]], axis=-1)
@@ -206,4 +215,5 @@ def build_student_bricks(cfg: Any) -> MinkUNetBricks:
         block=block, layers=layers, planes=planes,
         dropout_rate=float(cfg.dropout_rate or 0.0),
         use_cls_head=bool(cfg.use_cls_head),
-        n_classes=int(cfg.n_classes or 0))
+        n_classes=int(cfg.n_classes or 0),
+        remat=bool(cfg.remat) if cfg.remat is not None else True)

@@ -202,6 +202,18 @@ def main() -> None:
 
         val_loss = lm.avg
         if val_loader is not None and (epoch % int(cfg.eval_freq or 1) == 0):
+            if clip_sim is not None and cfg.eval_task in ("all", "segmentation") \
+                    and cfg.cls_list_path:
+                import json as _json
+
+                from ..distill.evaluate import validate_segmentation
+
+                cls_names = list(_json.load(open(cfg.cls_list_path)).values())
+                cls_embs = clip_sim.encode_text(cls_names)
+                seg_res = validate_segmentation(val_loader, eval_forward,
+                                                cls_embs, cfg)
+                logger.info("Eval Segmentation: Epoch=[%d/%s] %s", epoch,
+                            cfg.epochs, seg_res)
             if clip_sim is not None and cfg.eval_task in ("all", "grounding"):
                 res = validate_grounding(val_loader, eval_forward, clip_sim,
                                          cfg)
