@@ -80,14 +80,19 @@ def transform_pointcloud_to_camera_frame(points: jnp.ndarray,
 def transform_poses_to_camera_frame(poses: jnp.ndarray,
                                     camera_pose: jnp.ndarray) -> jnp.ndarray:
     """(N,4,4) poses world->cam (reference utils/transforms.py:64-80)."""
-    inv = jnp.linalg.inv(camera_pose)
-    return jnp.einsum("ij,njk->nik", inv, poses)
+    # affine_inverse (not jnp.linalg.inv — TPU batched-inv miscompile,
+    # see its docstring); 4x4 matmul chains here are single (not wide-
+    # vmapped), which has tested safe, and HIGHEST precision is pinned.
+    inv = affine_inverse(camera_pose)
+    return jnp.einsum("ij,njk->nik", inv, poses,
+                      precision=lax.Precision.HIGHEST)
 
 
 def transform_poses_to_world_frame(poses: jnp.ndarray,
                                    camera_pose: jnp.ndarray) -> jnp.ndarray:
     """(N,4,4) poses cam->world (reference utils/transforms.py:83-96)."""
-    return jnp.einsum("ij,njk->nik", camera_pose, poses)
+    return jnp.einsum("ij,njk->nik", camera_pose, poses,
+                      precision=lax.Precision.HIGHEST)
 
 
 def flip_yz(points: jnp.ndarray) -> jnp.ndarray:
