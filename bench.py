@@ -161,15 +161,26 @@ def main_fusion():
             s["K"] = np.array([[444.44, 0, 319.5], [0, 444.44, 239.5],
                                [0, 0, 1]], np.float32)
 
+    # production pipelining (as run_blender does): scene i+1's host->device
+    # transfer is issued before scene i's compute, so the link rides under
+    # the ViT work instead of serializing with it
+    from dropclip_tpu.tools.preprocess_data import stage_scene
+
+    staged = [stage_scene(s["images"], s["depths"], s["segs"], s["poses"],
+                          s["K"]) for s in scenes[:1]]
     times = []
     for i, s in enumerate(scenes):
         t0 = time.perf_counter()
+        if i + 1 < len(scenes):
+            n = scenes[i + 1]
+            staged.append(stage_scene(n["images"], n["depths"], n["segs"],
+                                      n["poses"], n["K"]))
         process_scene(
             images=s["images"], depths=s["depths"], segs=s["segs"],
             poses=s["poses"], K=s["K"], obj_info=s["objects_info"],
             extractor=extractor, out_path=f"/tmp/bench_fusion/{i:04d}.h5py",
             voxel_size=0.01 if smoke else 0.005,
-            cloud_capacity=4096 if smoke else 131072)
+            cloud_capacity=4096 if smoke else 131072, staged=staged[i])
         times.append(time.perf_counter() - t0)
     steady = times[1:] if len(times) > 1 else times  # drop compile scene
     scenes_per_sec = 1.0 / float(np.median(steady))
