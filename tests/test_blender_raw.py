@@ -77,3 +77,34 @@ def test_blender_ingest_e2e(raw_root, tmp_path):
     item = ds[0]
     assert item["mask"].sum() > 10
     assert item["targets"].shape[-1] == 16
+
+
+def test_process_scene_staged_matches_unstaged(tmp_path):
+    """stage_scene's wire-dtype shrink (f16 depth, u8 seg) must not move
+    outputs: staged and unstaged ingest of the same scene agree."""
+    from dropclip_tpu.core.config import CfgNode
+    from dropclip_tpu.data.scene_io import read_scene
+    from dropclip_tpu.data.synthetic import make_raw_scene
+    from dropclip_tpu.tools.preprocess_data import (build_extractor,
+                                                    process_scene,
+                                                    stage_scene)
+
+    args = CfgNode(dict(clip_model="tiny-test", clip_checkpoint=None,
+                        visual_prompt="crop-mask", crop_num_levels=1,
+                        crop_expansion_ratio=0.15, batch_size=8))
+    ex = build_extractor(args)
+    raw = make_raw_scene(np.random.default_rng(3), n_objects=2, n_views=3)
+    kw = dict(images=raw["images"], depths=raw["depths"], segs=raw["segs"],
+              poses=raw["poses"], K=raw["K"], obj_info=raw["objects_info"],
+              extractor=ex, voxel_size=0.01, cloud_capacity=2048)
+    a = str(tmp_path / "a.h5py")
+    b = str(tmp_path / "b.h5py")
+    process_scene(out_path=a, **kw)
+    staged = stage_scene(raw["images"], raw["depths"], raw["segs"],
+                         raw["poses"], raw["K"])
+    process_scene(out_path=b, staged=staged, **kw)
+    sa, sb = read_scene(a), read_scene(b)
+    assert sa.xyz.shape == sb.xyz.shape
+    np.testing.assert_allclose(sa.xyz, sb.xyz, atol=1e-5)
+    np.testing.assert_allclose(sa.obj_feats, sb.obj_feats, atol=1e-5)
+    np.testing.assert_array_equal(sa.label, sb.label)
