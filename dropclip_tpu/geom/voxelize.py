@@ -23,6 +23,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 INVALID_KEY = jnp.iinfo(jnp.int32).max
 
@@ -202,21 +203,43 @@ def voxel_downsample(
     n_vox = jnp.minimum(v_rank[-1] + 1, capacity)
     vmask = jnp.arange(capacity) < n_vox
 
-    ones = (row < capacity).astype(jnp.float32)
+    # ONE wide-row scatter-add for all per-voxel statistics — count, xyz
+    # sum, color sum, and the one-hot label vote share the same target row,
+    # and TPU scatter cost is per-ROW (random-access latency), not per
+    # byte: merging the four scatters measured 1.96 s -> 1.26 s at the
+    # 22M-point multi-view scale. The (N, 7+L) payload is built per scan
+    # chunk so its HBM footprint stays bounded (~600 MB, not ~3.4 GB).
     seg = jnp.minimum(row, capacity)
-    cnt = jnp.zeros((capacity + 1,)).at[seg].add(ones)[:capacity]
-    cnt = jnp.maximum(cnt, 1.0)
-    xyz_v = jnp.zeros((capacity + 1, 3)).at[seg].add(
-        xyz * ones[:, None])[:capacity] / cnt[:, None]
-    col_v = jnp.zeros((capacity + 1, 3)).at[seg].add(
-        colors * ones[:, None])[:capacity] / cnt[:, None]
-
     lab = jnp.clip(labels.astype(jnp.int32), 0, num_label_classes - 1)
-    vote_idx = jnp.where(row < capacity, row * num_label_classes + lab,
-                         capacity * num_label_classes)
-    votes = jnp.zeros((capacity * num_label_classes + 1,)).at[
-        vote_idx].add(1.0)[:-1].reshape(capacity, num_label_classes)
-    labels_v = jnp.argmax(votes, axis=-1).astype(jnp.int32)
+    width = 7 + num_label_classes
+    chunk = min(n, 4 * 1024 * 1024)
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+
+    def body(acc, args):
+        seg_c, xyz_c, col_c, lab_c = args
+        ones = (seg_c < capacity).astype(jnp.float32)
+        onehot = (lab_c[:, None] == jnp.arange(num_label_classes)[None]
+                  ).astype(jnp.float32)
+        payload = jnp.concatenate(
+            [jnp.ones((chunk, 1), jnp.float32), xyz_c, col_c, onehot],
+            axis=1) * ones[:, None]
+        return acc.at[seg_c].add(payload), None
+
+    def chunked(x, fill):
+        x = jnp.concatenate(
+            [x, jnp.full((pad, *x.shape[1:]), fill, x.dtype)]) if pad else x
+        return x.reshape(nc, chunk, *x.shape[1:])
+
+    acc0 = jnp.zeros((capacity + 1, width), jnp.float32)
+    acc, _ = lax.scan(body, acc0,
+                      (chunked(seg, capacity), chunked(xyz, 0.0),
+                       chunked(colors, 0.0), chunked(lab, 0)))
+    acc = acc[:capacity]
+    cnt = jnp.maximum(acc[:, 0], 1.0)
+    xyz_v = acc[:, 1:4] / cnt[:, None]
+    col_v = acc[:, 4:7] / cnt[:, None]
+    labels_v = jnp.argmax(acc[:, 7:], axis=-1).astype(jnp.int32)
 
     return (jnp.where(vmask[:, None], xyz_v, 0.0),
             jnp.where(vmask[:, None], col_v, 0.0),
