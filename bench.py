@@ -10,10 +10,12 @@ Two modes (BENCH_METRIC env):
   scenes/sec ON ONE CHIP. Teacher weights are random (numerics don't
   change the compute).
 
-- ``infer``: single-view student inference — brick topology +
-  MinkUNet14D forward to 768-d features at deployment shapes (batch 8,
-  8192-voxel capacity, bf16). Estimated reference: 40 scenes/sec
-  (MinkowskiEngine on a modern GPU).
+- ``infer``: single-view END-TO-END inference per BASELINE.md's pinned
+  definition — brick topology + MinkUNet14D forward to 768-d features +
+  paired-softmax text-query grounding (8 queries x 8 negatives each) at
+  deployment shapes (batch 8, 8192-voxel capacity, bf16), fully
+  on-device; also prints the p50 per-scene latency. Estimated reference:
+  40 scenes/sec (MinkowskiEngine on a modern GPU).
 
 The reference publishes no numbers (BASELINE.md) — estimates above are
 documented assumptions; update when measured baselines land.
@@ -40,6 +42,7 @@ def main_infer():
     import jax
     import jax.numpy as jnp
 
+    from dropclip_tpu.similarity import predict_from_embeddings
     from dropclip_tpu.sparse.bricks import build_brick_topology
     from dropclip_tpu.sparse.unet import UNET_ARCHS
     from dropclip_tpu.sparse.unet_bricks import MinkUNetBricks
@@ -96,13 +99,33 @@ def main_infer():
     # round trip out of the per-forward time.
     reps = 1 if smoke else 5
 
+    # grounding queries (BASELINE.md pins "end-to-end incl. text-query
+    # similarity"): 8 queries x 8 negatives per scene, paired softmax
+    nq, nneg = 8, 8
+    c_out = 768
+    qpos = jnp.asarray(rng.randn(nq, c_out).astype(np.float32))
+    qpos = qpos / jnp.linalg.norm(qpos, axis=-1, keepdims=True)
+    qneg = jnp.asarray(rng.randn(nq, nneg, c_out).astype(np.float32))
+    qneg = qneg / jnp.linalg.norm(qneg, axis=-1, keepdims=True)
+
     @jax.jit
-    def forward(variables, coords, mask, feats):
+    def forward(variables, coords, mask, feats, qpos, qneg):
         def body(carry, _):
             f, acc = carry
             topo = build_brick_topology(coords, mask)
             out = model.apply(variables, topo, f, train=False)
-            s = jnp.sum(out.astype(jnp.float32))
+
+            def ground_scene(feats_s, mask_s):
+                def one_q(pos, negs):
+                    pred, sims = predict_from_embeddings(
+                        feats_s, pos, negs, mask=mask_s, method="paired",
+                        threshold=0.75)
+                    return pred.astype(jnp.float32).sum() + sims.sum()
+
+                return jax.vmap(one_q)(qpos, qneg).sum()
+
+            s = (jnp.sum(out.astype(jnp.float32))
+                 + jax.vmap(ground_scene)(out, mask).sum())
             # data dependency between reps (prevents CSE/elision)
             return (f + (s * 1e-30).astype(f.dtype), acc + s), None
 
@@ -111,17 +134,19 @@ def main_infer():
         return acc
 
     # compile + warmup (host fetch forces full execution)
-    float(forward(variables, coords, mask, feats))
-    float(forward(variables, coords, mask, feats))
+    float(forward(variables, coords, mask, feats, qpos, qneg))
+    float(forward(variables, coords, mask, feats, qpos, qneg))
 
     iters = 3 if smoke else 10
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(forward(variables, coords, mask, feats))
+        float(forward(variables, coords, mask, feats, qpos, qneg))
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times)) / reps
     scenes_per_sec = b / p50
+    print(f"# p50 end-to-end (topology + UNet + {nq}-query grounding): "
+          f"{1e3 * p50 / b:.1f} ms/scene at batch {b}")
 
     return {
         "metric": "single_view_infer_scenes_per_sec",
