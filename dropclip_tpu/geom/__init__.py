@@ -13,3 +13,10 @@ from .projections import (
     reconstruct_feature_map,
 )
 from .voxelize import sparse_quantize, voxel_downsample, ravel_grid_coords
+from .cleanup import (
+    pc_outlier_removal,
+    pc_voxel_down,
+    plane_removal,
+    remove_stat_outlier,
+    segment_plane,
+)

@@ -60,9 +60,9 @@ class SceneGrasps:
 
     def to_meshes(self, gripper_type: str = "marker"):
         """Gripper meshes posed at each grasp (reference :246-257)."""
-        from .gripper import create_gripper_marker
+        from .gripper import make
 
-        v, f = create_gripper_marker()
+        v, f = make(gripper_type)
         out = []
         for p in self.poses:
             vh = np.c_[v, np.ones(len(v))] @ p.T

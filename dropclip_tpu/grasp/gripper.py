@@ -56,6 +56,96 @@ def create_gripper_marker(radius: float = 0.002, sections: int = 6
     return np.concatenate(all_v), np.concatenate(all_f)
 
 
+# reference gripper_models/__init__.py:59-65: pose the marker so its
+# fingers straddle the grasp frame's approach axis
+MARKER_IMPLICIT_TRANSFORM = np.array([
+    [0.0, 0.0, 1.0, -0.06],
+    [1.0, 0.0, 0.0, -0.01],
+    [0.0, 1.0, 0.0, -0.01],
+    [0.0, 0.0, 0.0, 1.0],
+])
+
+
+def _box(center, size) -> Tuple[np.ndarray, np.ndarray]:
+    """Axis-aligned box mesh -> (verts (8, 3), faces (12, 3))."""
+    c = np.asarray(center, float)
+    h = np.asarray(size, float) / 2.0
+    corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)], float)
+    verts = c + corners * h
+    faces = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],  # x faces
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],  # y faces
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],  # z faces
+    ], np.int32)
+    return verts, faces
+
+
+def _concat(parts) -> Tuple[np.ndarray, np.ndarray]:
+    vs, fs, off = [], [], 0
+    for v, f in parts:
+        vs.append(v)
+        fs.append(f + off)
+        off += len(v)
+    return np.concatenate(vs), np.concatenate(fs)
+
+
+def _transform(verts: np.ndarray, T: np.ndarray) -> np.ndarray:
+    return np.c_[verts, np.ones(len(verts))] @ T.T[:, :3]
+
+
+def _franka_mesh() -> Tuple[np.ndarray, np.ndarray]:
+    """Procedural Franka-Panda-hand approximation (palm + two fingers,
+    Panda hand dimensions). The reference bakes the vendor OBJ assets
+    (gripper_models/franka_panda/meshes); assets are not vendored here —
+    this stands in at the same pose/scale for visualization."""
+    palm = _box([0, 0, 0.029], [0.063, 0.21, 0.058])
+    finger_l = _box([0, 0.045, 0.083], [0.022, 0.018, 0.05])
+    finger_r = _box([0, -0.045, 0.083], [0.022, 0.018, 0.05])
+    return _concat([palm, finger_l, finger_r])
+
+
+def _robotiq_mesh() -> Tuple[np.ndarray, np.ndarray]:
+    """Procedural Robotiq 2F-140 approximation (wider jaw span)."""
+    palm = _box([0, 0, 0.03], [0.09, 0.13, 0.06])
+    finger_l = _box([0, 0.07, 0.12], [0.025, 0.02, 0.12])
+    finger_r = _box([0, -0.07, 0.12], [0.025, 0.02, 0.12])
+    return _concat([palm, finger_l, finger_r])
+
+
+def make(gripper_type: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Gripper mesh factory (reference gripper_models/__init__.py:70-103):
+    same names, same posing transforms, (verts, faces) instead of an o3d
+    TriangleMesh."""
+    if gripper_type == "franka_panda":
+        v, f = _franka_mesh()
+        theta = np.pi / 2  # reference :76-83
+        R = np.array([
+            [np.cos(theta), 0, np.sin(theta), 0.025],
+            [0, 1, 0, -0.01],
+            [-np.sin(theta), 0, np.cos(theta), 0],
+            [0, 0, 0, 1],
+        ])
+        v = _transform(v, R)
+        v = (v - v.mean(0)) * 1.25 + v.mean(0)  # reference :85 scale
+        return v, f
+    if gripper_type == "robotiq_2f_140":
+        v, f = _robotiq_mesh()
+        theta = np.pi / 2  # reference :92-98
+        R = np.array([
+            [np.cos(theta), 0, np.sin(theta), 0.0],
+            [0, 1, 0, 0.0],
+            [-np.sin(theta), 0, np.cos(theta), 0],
+            [0, 0, 0, 1],
+        ])
+        return _transform(v, R), f
+    if gripper_type == "marker":
+        v, f = create_gripper_marker()
+        return _transform(v, MARKER_IMPLICIT_TRANSFORM), f
+    raise ValueError(f"Unknown gripper type {gripper_type}. "
+                     "Check dropclip_tpu/grasp/gripper.py.")
+
+
 def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
     """Minimal OBJ export for visualization."""
     with open(path, "w") as f:

@@ -1,11 +1,17 @@
-"""Batch DINOv2 descriptor extraction for image folders.
+"""Batch DINO descriptor extraction for image folders.
 
-Counterpart of reference tools/dino_extract.py:34-71: load images, run
-the DINOv2 featurizer (cls or patch tokens), save .npy.
+Counterpart of reference tools/dino_extract.py:34-71 (DINOv2 featurizer:
+cls or patch tokens) and of the standalone hi-res DINO v1 extractor CLI
+(reference models/features/dino/dino_vit_extractor.py:338-364:
+stride-patched ViT, facet descriptors, optional log binning). Saves one
+.npy per image.
 
 Usage:
   python -m dropclip_tpu.tools.dino_extract --images "DIR/*.png" --out OUT \
       [--model dinov2_vits14] [--checkpoint hf_dinov2.pt] [--mode patch]
+  python -m dropclip_tpu.tools.dino_extract --images ... --out OUT \
+      --model dino_vits8 --stride 4 --facet key --layer 11 [--bin] \
+      [--load-size 224] [--checkpoint dino_vits8.pt]
 """
 
 from __future__ import annotations
@@ -28,11 +34,23 @@ def main() -> None:
     p.add_argument("--mode", choices=["cls", "patch"], default="patch")
     p.add_argument("--resize", type=int, nargs=2, default=(336, 448))
     p.add_argument("--batch-size", type=int, default=16)
+    # hi-res DINO v1 options (reference dino_vit_extractor.py:338-353)
+    p.add_argument("--stride", type=int, default=4,
+                   help="patch-conv stride for dino_vits/vitb models")
+    p.add_argument("--facet", default="key",
+                   choices=["key", "query", "value", "token"])
+    p.add_argument("--layer", type=int, default=11)
+    p.add_argument("--bin", action="store_true",
+                   help="log-binned descriptors")
+    p.add_argument("--load-size", type=int, default=224)
     a = p.parse_args()
 
     import cv2
     import jax
     import jax.numpy as jnp
+
+    if not a.model.startswith("dinov2"):
+        return _main_dino_v1(a)
 
     from dropclip_tpu.teachers.dinov2 import (Dinov2Extractor, build_dinov2,
                                               from_hf_dinov2)
@@ -63,6 +81,39 @@ def main() -> None:
             name = os.path.splitext(os.path.basename(f))[0]
             np.save(os.path.join(a.out, f"{name}.npy"), feat)
         print(f"{i + len(chunk)}/{len(files)}")
+
+
+def _main_dino_v1(a) -> None:
+    """Hi-res stride-patched descriptor path (reference
+    dino_vit_extractor.py:356-364)."""
+    import glob as _glob
+
+    import cv2
+    import numpy as _np
+
+    from dropclip_tpu.teachers.dino_v1 import ViTExtractor, from_dino_v1
+
+    variables = None
+    if a.checkpoint:
+        import torch
+
+        obj = torch.load(a.checkpoint, map_location="cpu", weights_only=False)
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        variables = {"params": from_dino_v1(sd)}
+    else:
+        print("WARNING: no --checkpoint; RANDOM weights (smoke mode)")
+    ex = ViTExtractor(a.model, stride=a.stride, variables=variables)
+    files = sorted(_glob.glob(a.images))
+    assert files, f"no images match {a.images}"
+    os.makedirs(a.out, exist_ok=True)
+    for f in files:
+        img = _np.ascontiguousarray(cv2.imread(f)[:, :, ::-1])
+        batch = ex.preprocess(img, load_size=a.load_size)
+        desc = ex.extract_descriptors(batch, layer=a.layer, facet=a.facet,
+                                      bin=a.bin)
+        name = os.path.splitext(os.path.basename(f))[0]
+        _np.save(os.path.join(a.out, f"{name}.npy"), _np.asarray(desc))
+        print(f"{name}: descriptors {tuple(desc.shape)}")
 
 
 if __name__ == "__main__":

@@ -33,6 +33,8 @@ def test_scene_grasps_filters(rng):
 
 
 def test_gripper_mesh(tmp_path):
+    from dropclip_tpu.grasp.gripper import make
+
     v, f = create_gripper_marker()
     assert v.shape[1] == 3 and f.shape[1] == 3
     assert f.max() < len(v)
@@ -40,10 +42,30 @@ def test_gripper_mesh(tmp_path):
     meshes = g.to_meshes()
     assert len(meshes) == 3
     # posed mesh is translated by the grasp position
-    assert np.allclose(meshes[0][0].mean(0) - v.mean(0), g.poses[0, :3, 3],
+    mv, _ = make("marker")
+    assert np.allclose(meshes[0][0].mean(0) - mv.mean(0), g.poses[0, :3, 3],
                        atol=1e-6)
     save_obj(str(tmp_path / "g.obj"), v, f)
     assert (tmp_path / "g.obj").read_text().startswith("v ")
+
+
+def test_gripper_factory(tmp_path):
+    import pytest
+
+    from dropclip_tpu.grasp.gripper import make
+
+    for name in ("marker", "franka_panda", "robotiq_2f_140"):
+        v, f = make(name)
+        assert v.shape[1] == 3 and f.dtype == np.int32
+        assert f.max() < len(v) and f.min() >= 0
+        save_obj(str(tmp_path / f"{name}.obj"), v, f)
+    # franka: fingers along +x after the 90-deg about-y posing transform,
+    # 1.25x scale about the mesh center (reference
+    # gripper_models/__init__.py:76-85)
+    v, _ = make("franka_panda")
+    assert v[:, 0].max() > 0.06
+    with pytest.raises(ValueError):
+        make("shadow_hand")
 
 
 def test_rank_grasps_by_query(rng):
