@@ -86,7 +86,14 @@ def main_infer():
     feats = (jnp.asarray(rng.randn(b, m, 6).astype(np.float32))
              * mask[..., None]).astype(jnp.bfloat16)
 
-    topo0 = build_brick_topology(coords, mask)
+    # one-time static-capacity autotune from the data (deployment setup
+    # step: capacities are compile-time constants; the default M//8
+    # heuristic over-allocates ~25-30% on real surface scenes and every
+    # brick conv scales with capacity)
+    from dropclip_tpu.sparse.bricks import autotune_brick_capacities
+    caps = autotune_brick_capacities(np.asarray(coords), np.asarray(mask))
+
+    topo0 = build_brick_topology(coords, mask, brick_capacities=caps)
     variables = jax.jit(
         lambda t, f: model.init(jax.random.PRNGKey(0), t, f, train=False)
     )(topo0, feats)
@@ -112,7 +119,7 @@ def main_infer():
     def forward(variables, coords, mask, feats, qpos, qneg):
         def body(carry, _):
             f, acc = carry
-            topo = build_brick_topology(coords, mask)
+            topo = build_brick_topology(coords, mask, brick_capacities=caps)
             out = model.apply(variables, topo, f, train=False)
 
             def ground_scene(feats_s, mask_s):
@@ -259,6 +266,11 @@ def main_train():
         rng.randn(b, m, int(cfg.feat_dim)).astype(np.float32)) * mask[..., None]
     labels = jnp.zeros((b, m), jnp.int32)
     batch = DistilBatch(coords, mask, feats, targets, labels, labels)
+
+    # same one-time capacity autotune the trainer applies by default
+    from dropclip_tpu.sparse.bricks import autotune_brick_capacities
+    cfg.brick_capacities = list(autotune_brick_capacities(
+        np.asarray(coords), np.asarray(mask), slack=1.5))
 
     model = build_student_for(cfg)
     topo = build_topology(cfg, coords, mask)

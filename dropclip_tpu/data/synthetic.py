@@ -84,7 +84,11 @@ def make_raw_scene(rng: np.random.Generator, n_objects: int = 3,
     labels = np.concatenate(labs)
 
     n = len(points)
-    depths = np.full((n_views, h, w), 10.0, np.float32)
+    # background depth beyond the 25 m aggregation truncation, like the
+    # MV-TOD Blender renders (reference geometry.py:140 "Remove background
+    # points"); 10.0 here used to sneak under the truncation and flood the
+    # voxel grid with backdrop voxels at coarse voxel sizes
+    depths = np.full((n_views, h, w), 100.0, np.float32)
     segs = np.zeros((n_views, h, w), np.int32)
     images = np.full((n_views, h, w, 3), 140, np.uint8)
     col8 = (colors * 255).astype(np.uint8)

@@ -31,7 +31,12 @@ def build_topology(cfg, coords, mask):
     backend = cfg.sparse_backend or "bricks"
     num_levels = int(cfg.num_levels or 5)
     if backend == "bricks":
-        return build_brick_topology(coords, mask, num_levels=num_levels)
+        caps = cfg.brick_capacities  # static per-level brick counts,
+        # autotuned from data (sparse.bricks.autotune_brick_capacities);
+        # None -> the conservative M//8 heuristic
+        return build_brick_topology(
+            coords, mask, num_levels=num_levels,
+            brick_capacities=tuple(caps) if caps else None)
     return build_unet_topology(coords, mask, num_levels=num_levels)
 
 

@@ -203,6 +203,42 @@ def build_brick_topology(coords: jnp.ndarray, mask: jnp.ndarray,
     return fn(coords, mask)
 
 
+def autotune_brick_capacities(coords, mask, num_levels: int = 5,
+                              slack: float = 1.2, multiple: int = 64,
+                              floor: int = 32) -> Tuple[int, ...]:
+    """Measure per-level occupied-brick counts on sample batches (host) and
+    return padded static capacities for ``build_brick_topology``.
+
+    The default capacity heuristic (M//8, halving per level) assumes >=8
+    occupied voxels per brick; real tabletop scenes run ~8-10, so it
+    over-allocates ~25-30% — and every brick conv's cost scales linearly
+    with capacity. This is the TPU analogue of MinkowskiEngine's dynamic
+    coordinate manager sizing (reference relies on fully dynamic shapes),
+    amortized once per dataset/config instead of per batch: call on a
+    representative sample, compile with the result.
+
+    ``coords`` (B, M, 3) or (M, 3) int voxel coords, ``mask`` matching
+    validity. ``slack`` multiplies the observed max before rounding up to
+    ``multiple`` (headroom for unseen scenes; topology construction drops
+    overflow bricks gracefully but silently).
+    """
+    coords = np.asarray(coords)
+    mask = np.asarray(mask)
+    if coords.ndim == 2:
+        coords, mask = coords[None], mask[None]
+    caps = []
+    bricks = coords >> 2  # level-0 brick coords
+    for l in range(num_levels):
+        worst = 1
+        for b in range(coords.shape[0]):
+            occ = np.unique(bricks[b][mask[b]], axis=0)
+            worst = max(worst, len(occ))
+        cap = int(np.ceil(worst * slack / multiple) * multiple)
+        caps.append(max(cap, floor))
+        bricks = bricks >> 1
+    return tuple(caps)
+
+
 # --------------------------------------------------------------- feature ops
 
 def scatter_points(feats: jnp.ndarray, row: jnp.ndarray, within: jnp.ndarray,

@@ -104,7 +104,15 @@ class MultiHeadAttention(nn.Module):
         k = self.k_proj(x).reshape(b, t, self.heads, hd)
         v = self.v_proj(x).reshape(b, t, self.heads, hd)
         if self.use_flash:
-            out = _flash_attention(q, k, v, causal)
+            from ..ops.attention import oneshot_attention, supports
+
+            # one-shot VMEM kernel beats both flash and XLA dpa at ViT
+            # lengths (17.0 vs 13.0 / 13.6 TF/s at T=769, see PERF.md);
+            # flash remains for causal (text tower) and long sequences
+            if supports(t, hd, causal):
+                out = oneshot_attention(q, k, v)
+            else:
+                out = _flash_attention(q, k, v, causal)
         else:
             out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
         out = out.reshape(b, t, d)

@@ -112,6 +112,8 @@ def main() -> None:
                 jax.devices()[0].platform)
     assert int(cfg.batch_size or 8) % n_dev == 0, (
         f"global batch {cfg.batch_size} must divide over {n_dev} devices")
+    assert int(cfg.batch_size_val or 8) % n_dev == 0, (
+        f"val batch {cfg.batch_size_val} must divide over {n_dev} devices")
 
     train_ds, val_ds, collate = build_dataset_for(cfg)
     train_loader = DataLoader(
@@ -128,6 +130,25 @@ def main() -> None:
     model = build_student_for(cfg)
     iters_per_epoch = max(len(train_loader), 1)
     tx = make_optimizer(cfg, iters_per_epoch)
+
+    # static brick-capacity autotune from a data sample: every brick conv
+    # scales with capacity and the default M//8 heuristic over-allocates
+    # 25-50% per level on real scenes (2x at the coarse decoder levels).
+    # slack 1.5 absorbs augmentation variance; a scene exceeding capacity
+    # only drops its overflow bricks (masked voxels), it does not error.
+    # Disable with --opts autotune_capacities False or pin explicit
+    # per-level counts with brick_capacities.
+    autotune = (cfg.autotune_capacities
+                if cfg.autotune_capacities is not None else True)
+    if ((cfg.sparse_backend or "bricks") == "bricks"
+            and not cfg.brick_capacities and autotune):
+        from ..sparse.bricks import autotune_brick_capacities
+
+        sample = collate([train_ds[i % len(train_ds)] for i in range(16)])
+        cfg.brick_capacities = list(autotune_brick_capacities(
+            np.asarray(sample["coords"]), np.asarray(sample["mask"]),
+            num_levels=int(cfg.num_levels or 5), slack=1.5))
+        logger.info("autotuned brick capacities: %s", cfg.brick_capacities)
 
     example = collate([train_ds[0]] * max(n_dev, 1))
     topo0 = build_topology(cfg, jnp.asarray(example["coords"]),

@@ -142,3 +142,25 @@ def test_batched_topology(rng):
     bt = build_brick_topology(coords, mask, num_levels=3)
     assert bt.levels[0].occ.shape[0] == 2
     assert bt.point_row.shape == (2, cap)
+
+
+def test_autotune_brick_capacities(rng):
+    from dropclip_tpu.sparse.bricks import autotune_brick_capacities
+
+    cap = 256
+    cs, ms = zip(*[make_coords(rng, 200, cap) for _ in range(3)])
+    coords, mask = np.stack(cs), np.stack(ms)
+    caps = autotune_brick_capacities(coords, mask, num_levels=4,
+                                     slack=1.2, multiple=64)
+    assert len(caps) == 4
+    # monotone non-increasing occupancy up the pyramid, floor respected
+    assert all(c >= 32 and c % 64 == 0 or c == 32 for c in caps)
+    # capacity covers the true occupied brick count of every batch entry
+    for b in range(3):
+        occ = np.unique(coords[b][mask[b]] >> 2, axis=0)
+        assert caps[0] >= len(occ)
+    # topology built with autotuned caps keeps every valid point
+    bt = build_brick_topology(jnp.asarray(coords), jnp.asarray(mask),
+                              num_levels=4, brick_capacities=caps)
+    kept = np.asarray(bt.point_row) < caps[0]
+    assert np.all(kept[np.asarray(mask)])
