@@ -29,6 +29,13 @@ import time
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS"):
+    # honor JAX_PLATFORMS even against plugins that force-register
+    # (the axon TPU plugin ignores the env var; the config knob wins)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # fusion: reference ingest ~33 s/scene on one modern GPU (800+ crops/scene
 # through PIL preprocessing + batch-12 fp16 ViT-L forwards ~13-20 s, o3d
 # CPU aggregation over 73 views ~10-20 s; reference tools/preprocess_data
@@ -86,14 +93,19 @@ def main_infer():
     feats = (jnp.asarray(rng.randn(b, m, 6).astype(np.float32))
              * mask[..., None]).astype(jnp.bfloat16)
 
-    # one-time static-capacity autotune from the data (deployment setup
-    # step: capacities are compile-time constants; the default M//8
-    # heuristic over-allocates ~25-30% on real surface scenes and every
-    # brick conv scales with capacity)
+    # one-time static setup from the data (deployment setup step:
+    # capacities and brick shape are compile-time constants). The default
+    # M//8 heuristic over-allocates ~25-30% on real surface scenes and
+    # every brick conv scales with capacity; (4, 4, 2) bricks double
+    # z-thin tabletop occupancy (1.6x full-forward, PERF.md) — same
+    # choices the canonical configs make.
     from dropclip_tpu.sparse.bricks import autotune_brick_capacities
-    caps = autotune_brick_capacities(np.asarray(coords), np.asarray(mask))
+    bshape = (4, 4, 2)
+    caps = autotune_brick_capacities(np.asarray(coords), np.asarray(mask),
+                                     brick_shape=bshape)
 
-    topo0 = build_brick_topology(coords, mask, brick_capacities=caps)
+    topo0 = build_brick_topology(coords, mask, brick_capacities=caps,
+                                 brick_shape=bshape)
     variables = jax.jit(
         lambda t, f: model.init(jax.random.PRNGKey(0), t, f, train=False)
     )(topo0, feats)
@@ -119,7 +131,8 @@ def main_infer():
     def forward(variables, coords, mask, feats, qpos, qneg):
         def body(carry, _):
             f, acc = carry
-            topo = build_brick_topology(coords, mask, brick_capacities=caps)
+            topo = build_brick_topology(coords, mask, brick_capacities=caps,
+                                        brick_shape=bshape)
             out = model.apply(variables, topo, f, train=False)
 
             def ground_scene(feats_s, mask_s):
@@ -240,7 +253,8 @@ def main_train():
     cfg = CfgNode(dict(arch_3d="MinkUNet14A" if smoke else "MinkUNet14D",
                        feat_dim=16 if smoke else 768, loss_type="cosine",
                        base_lr=3e-4, min_lr=1e-4, epochs=200,
-                       weight_decay=1e-5, max_norm=5.0))
+                       weight_decay=1e-5, max_norm=5.0,
+                       brick_shape=[4, 4, 2]))
     rng = np.random.RandomState(0)
     ext = 8 if smoke else 40
     coords_list, mask_list = [], []
@@ -267,10 +281,11 @@ def main_train():
     labels = jnp.zeros((b, m), jnp.int32)
     batch = DistilBatch(coords, mask, feats, targets, labels, labels)
 
-    # same one-time capacity autotune the trainer applies by default
+    # same one-time capacity/shape autotune the trainer applies by default
     from dropclip_tpu.sparse.bricks import autotune_brick_capacities
     cfg.brick_capacities = list(autotune_brick_capacities(
-        np.asarray(coords), np.asarray(mask), slack=1.5))
+        np.asarray(coords), np.asarray(mask), slack=1.5,
+        brick_shape=(4, 4, 2)))
 
     model = build_student_for(cfg)
     topo = build_topology(cfg, coords, mask)

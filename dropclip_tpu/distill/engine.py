@@ -36,8 +36,23 @@ def build_topology(cfg, coords, mask):
         # None -> the conservative M//8 heuristic
         return build_brick_topology(
             coords, mask, num_levels=num_levels,
-            brick_capacities=tuple(caps) if caps else None)
+            brick_capacities=tuple(caps) if caps else None,
+            brick_shape=brick_shape_of(cfg))
     return build_unet_topology(coords, mask, num_levels=num_levels)
+
+
+def brick_shape_of(cfg) -> tuple:
+    """cfg.brick_shape ([4, 4, 2] or "4,4,2") -> static tuple.
+
+    (4, 4, 2) is the tabletop-tuned shape — z-thin scenes double their
+    per-brick occupancy, measured 1.6x on the full UNet forward (PERF.md);
+    the canonical configs set it. Default isotropic (4, 4, 4)."""
+    bs = cfg.brick_shape
+    if bs is None:
+        return (4, 4, 4)
+    if isinstance(bs, str):
+        bs = bs.split(",")
+    return tuple(int(v) for v in bs)
 
 
 def build_student_for(cfg):

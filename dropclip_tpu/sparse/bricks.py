@@ -34,15 +34,30 @@ import numpy as np
 
 from ..geom.voxelize import INVALID_KEY, ravel_grid_coords, unravel_key
 
-BS = 4          # brick edge (voxels)
-BV = BS ** 3    # voxels per brick
+BS = 4          # default brick edge (voxels)
+BV = BS ** 3    # voxels per default brick
+
+# Brick shape is configurable per topology (power-of-two per axis).
+# Tabletop scenes are z-thin: a horizontal surface fills ~25% of a 4^3
+# brick but ~50% of a 4x4x2 brick, and dense-conv FLOPs scale with
+# brick volume x brick count — measured 1.7x fewer padded FLOPs at
+# (4, 4, 2) on bench scenes (PERF.md). Default stays isotropic.
+DEFAULT_BRICK_SHAPE = (4, 4, 4)
+
+
+def _shifts(bshape: Tuple[int, int, int]) -> Tuple[int, int, int]:
+    for s in bshape:
+        if s < 1 or s & (s - 1):
+            raise ValueError(f"brick shape {bshape} must be powers of two")
+    return tuple(s.bit_length() - 1 for s in bshape)
 
 
 class BrickLevel(NamedTuple):
     coords: jnp.ndarray  # (Bm, 3) int32 brick grid coords, cell-ascending
     keys: jnp.ndarray    # (Bm,) int32 dense cell ids (guard on padding)
     mask: jnp.ndarray    # (Bm,) bool occupied brick
-    occ: jnp.ndarray     # (Bm, 4, 4, 4) bool voxel occupancy
+    occ: jnp.ndarray     # (Bm, bx, by, bz) bool voxel occupancy — the occ
+    # shape IS the level's brick shape; feature ops derive it from here
     nbr: jnp.ndarray     # (Bm, 27) int32 neighbor brick rows (miss -> Bm)
 
 
@@ -78,7 +93,9 @@ class _GridLevel(NamedTuple):
 
 
 def _grid_level(cells_src: jnp.ndarray, capacity: int, g: int,
-                bias: int) -> _GridLevel:
+                bias: int,
+                bshape: Tuple[int, int, int] = DEFAULT_BRICK_SHAPE
+                ) -> _GridLevel:
     """cells_src: (N,) dense cell ids of occupied bricks (guard g^3 for
     invalid) -> brick level (occ filled later)."""
     n_cells = g ** 3
@@ -106,7 +123,8 @@ def _grid_level(cells_src: jnp.ndarray, capacity: int, g: int,
     nbr = row_table[jnp.where(ok, ncell, n_cells)]
 
     lvl = BrickLevel(coords=coords, keys=brick_cell, mask=bmask,
-                     occ=jnp.zeros((capacity, BS, BS, BS), bool), nbr=nbr)
+                     occ=jnp.zeros((capacity,) + tuple(bshape), bool),
+                     nbr=nbr)
     return _GridLevel(level=lvl, row_table=row_table, g=g, bias=bias)
 
 
@@ -118,10 +136,16 @@ def _cells_of(bcoords: jnp.ndarray, valid: jnp.ndarray, g: int,
     return jnp.where(ok, cell, g ** 3)
 
 
-@partial(jax.jit, static_argnames=("num_levels", "grid_bits", "capacities"))
+@partial(jax.jit, static_argnames=("num_levels", "grid_bits", "capacities",
+                                   "bshape"))
 def _build_single(coords: jnp.ndarray, mask: jnp.ndarray, num_levels: int,
-                  grid_bits: int, capacities: Tuple[int, ...]) -> BrickTopology:
+                  grid_bits: int, capacities: Tuple[int, ...],
+                  bshape: Tuple[int, int, int] = DEFAULT_BRICK_SHAPE
+                  ) -> BrickTopology:
     g0 = 1 << grid_bits
+    sx, sy, sz = _shifts(bshape)
+    bx, by, bz = bshape
+    bv = bx * by * bz
 
     levels, grids = [], []
     group_maps, parent_maps, octants = [], [], []
@@ -133,22 +157,24 @@ def _build_single(coords: jnp.ndarray, mask: jnp.ndarray, num_levels: int,
         bias = g // 2
         cap = capacities[l]
         if l == 0:
-            bcoord = coords >> 2
+            bcoord = jnp.stack([coords[..., 0] >> sx, coords[..., 1] >> sy,
+                                coords[..., 2] >> sz], axis=-1)
             cells = _cells_of(bcoord, mask, g, bias)
-            gl = _grid_level(cells, cap, g, bias)
+            gl = _grid_level(cells, cap, g, bias, bshape)
             row0 = gl.row_table[cells]
-            w = coords & (BS - 1)
-            w0 = (w[:, 0] * BS + w[:, 1]) * BS + w[:, 2]
+            w0 = (((coords[:, 0] & (bx - 1)) * by
+                   + (coords[:, 1] & (by - 1))) * bz
+                  + (coords[:, 2] & (bz - 1)))
             w0 = jnp.where(mask & (row0 < cap), w0, 0)
-            dst = jnp.where(mask & (row0 < cap), row0 * BV + w0, cap * BV)
-            occ = jnp.zeros((cap * BV + 1,), bool).at[dst].set(True)
-            occ = occ[:-1].reshape(cap, BS, BS, BS)
+            dst = jnp.where(mask & (row0 < cap), row0 * bv + w0, cap * bv)
+            occ = jnp.zeros((cap * bv + 1,), bool).at[dst].set(True)
+            occ = occ[:-1].reshape(cap, bx, by, bz)
             gl = gl._replace(level=gl.level._replace(occ=occ))
         else:
             fine_gl = grids[-1]
             fine = levels[-1]
             fcells = _cells_of(fine.coords >> 1, fine.mask, g, bias)
-            gl = _grid_level(fcells, cap, g, bias)
+            gl = _grid_level(fcells, cap, g, bias, bshape)
             # parent map + octant per fine brick
             parent_maps.append(gl.row_table[fcells])
             octants.append(jnp.where(fine.mask[:, None], fine.coords & 1, 0))
@@ -160,10 +186,11 @@ def _build_single(coords: jnp.ndarray, mask: jnp.ndarray, num_levels: int,
             group_maps.append(gmap)
             # coarse voxel occupancy: any of the 8 children occupied
             occ_pad = jnp.concatenate(
-                [fine.occ, jnp.zeros((1, BS, BS, BS), bool)], axis=0)
-            grp = occ_pad[gmap].reshape(cap, 2, 2, 2, BS, BS, BS)
-            grp = grp.transpose(0, 1, 4, 2, 5, 3, 6).reshape(cap, 8, 8, 8)
-            cocc = grp.reshape(cap, 4, 2, 4, 2, 4, 2).any(axis=(2, 4, 6))
+                [fine.occ, jnp.zeros((1, bx, by, bz), bool)], axis=0)
+            grp = occ_pad[gmap].reshape(cap, 2, 2, 2, bx, by, bz)
+            grp = grp.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
+                cap, 2 * bx, 2 * by, 2 * bz)
+            cocc = grp.reshape(cap, bx, 2, by, 2, bz, 2).any(axis=(2, 4, 6))
             gl = gl._replace(level=gl.level._replace(
                 occ=cocc & gl.level.mask[:, None, None, None]))
         levels.append(gl.level)
@@ -178,7 +205,9 @@ def _build_single(coords: jnp.ndarray, mask: jnp.ndarray, num_levels: int,
 def build_brick_topology(coords: jnp.ndarray, mask: jnp.ndarray,
                          num_levels: int = 5, grid_bits: int = 5,
                          brick_capacities: Optional[Sequence[int]] = None,
-                         bits: Optional[int] = None) -> BrickTopology:
+                         bits: Optional[int] = None,
+                         brick_shape: Tuple[int, int, int] =
+                         DEFAULT_BRICK_SHAPE) -> BrickTopology:
     """Voxel coords (B, M, 3)/(M, 3) -> brick topology pyramid.
 
     ``grid_bits``: bricks per axis = 2^grid_bits, i.e. level-0 voxel
@@ -188,6 +217,10 @@ def build_brick_topology(coords: jnp.ndarray, mask: jnp.ndarray,
 
     Default brick capacities: M//8 at level 0 (>=8 occupied voxels per
     brick on surface-like scenes), halving per level with a floor of 32.
+
+    ``brick_shape``: per-axis brick extent (powers of two). (4, 4, 2) is
+    the tabletop-tuned choice — z-thin scenes double their per-brick
+    occupancy, nearly halving dense-conv FLOPs (PERF.md).
     """
     del bits  # legacy arg of the sort-based builder
     batched = coords.ndim == 3
@@ -196,8 +229,10 @@ def build_brick_topology(coords: jnp.ndarray, mask: jnp.ndarray,
         b0 = max(m // 8, 32)
         brick_capacities = tuple(max(b0 >> l, 32) for l in range(num_levels))
     caps = tuple(brick_capacities)
+    bshape = tuple(brick_shape)
     fn = lambda c, k: _build_single(c, k, num_levels=num_levels,
-                                    grid_bits=grid_bits, capacities=caps)
+                                    grid_bits=grid_bits, capacities=caps,
+                                    bshape=bshape)
     if batched:
         return jax.vmap(fn)(coords, mask)
     return fn(coords, mask)
@@ -205,7 +240,9 @@ def build_brick_topology(coords: jnp.ndarray, mask: jnp.ndarray,
 
 def autotune_brick_capacities(coords, mask, num_levels: int = 5,
                               slack: float = 1.2, multiple: int = 64,
-                              floor: int = 32) -> Tuple[int, ...]:
+                              floor: int = 32,
+                              brick_shape: Tuple[int, int, int] =
+                              DEFAULT_BRICK_SHAPE) -> Tuple[int, ...]:
     """Measure per-level occupied-brick counts on sample batches (host) and
     return padded static capacities for ``build_brick_topology``.
 
@@ -227,7 +264,9 @@ def autotune_brick_capacities(coords, mask, num_levels: int = 5,
     if coords.ndim == 2:
         coords, mask = coords[None], mask[None]
     caps = []
-    bricks = coords >> 2  # level-0 brick coords
+    sx, sy, sz = _shifts(tuple(brick_shape))
+    bricks = np.stack([coords[..., 0] >> sx, coords[..., 1] >> sy,
+                       coords[..., 2] >> sz], axis=-1)  # level-0 bricks
     for l in range(num_levels):
         worst = 1
         for b in range(coords.shape[0]):
@@ -242,44 +281,54 @@ def autotune_brick_capacities(coords, mask, num_levels: int = 5,
 # --------------------------------------------------------------- feature ops
 
 def scatter_points(feats: jnp.ndarray, row: jnp.ndarray, within: jnp.ndarray,
-                   capacity: int) -> jnp.ndarray:
-    """(M, C) voxel features -> (Bm, 4, 4, 4, C) brick-dense."""
+                   capacity: int,
+                   brick_shape: Tuple[int, int, int] = DEFAULT_BRICK_SHAPE
+                   ) -> jnp.ndarray:
+    """(M, C) voxel features -> (Bm, bx, by, bz, C) brick-dense."""
+    bx, by, bz = brick_shape
+    bv = bx * by * bz
     c = feats.shape[-1]
-    flat = jnp.zeros((capacity * BV + 1, c), feats.dtype)
-    dst = jnp.where(row < capacity, row * BV + within, capacity * BV)
+    flat = jnp.zeros((capacity * bv + 1, c), feats.dtype)
+    dst = jnp.where(row < capacity, row * bv + within, capacity * bv)
     flat = flat.at[dst].set(feats, mode="drop")
-    return flat[:-1].reshape(capacity, BS, BS, BS, c)
+    return flat[:-1].reshape(capacity, bx, by, bz, c)
 
 
 def gather_points(dense: jnp.ndarray, row: jnp.ndarray,
                   within: jnp.ndarray) -> jnp.ndarray:
-    """(Bm, 4, 4, 4, C) -> (M, C) at the given voxel slots (pad -> zeros)."""
+    """(Bm, bx, by, bz, C) -> (M, C) at the given voxel slots (pad ->
+    zeros)."""
     bm = dense.shape[0]
+    bv = dense.shape[1] * dense.shape[2] * dense.shape[3]
     c = dense.shape[-1]
-    flat = jnp.concatenate([dense.reshape(bm * BV, c),
+    flat = jnp.concatenate([dense.reshape(bm * bv, c),
                             jnp.zeros((1, c), dense.dtype)], axis=0)
-    src = jnp.where(row < bm, row * BV + within, bm * BV)
+    src = jnp.where(row < bm, row * bv + within, bm * bv)
     return jnp.take(flat, src, axis=0)
 
 
 def halo_exchange(feats: jnp.ndarray, nbr: jnp.ndarray,
                   pad: int = 1) -> jnp.ndarray:
-    """(Bm, 4, 4, 4, C) + neighbor map -> (Bm, 4+2p, 4+2p, 4+2p, C).
+    """(Bm, bx, by, bz, C) + neighbor map -> (Bm, bx+2p, by+2p, bz+2p, C).
 
     27 whole-brick gathers (brick rows are contiguous ~48 KB blocks — the
     fast gather regime) assembled by nested CONCATENATION (a chain of 27
     dynamic-update-slices would serialize and copy the halo buffer 27x).
-    pad=1 serves k3, pad=2 k5.
+    pad=1 serves k3, pad=2 k5. pad may equal an axis's brick extent (the
+    adjacent brick then contributes its full depth) but not exceed it —
+    a deeper halo would need next-next bricks the 27-neighbor map does
+    not carry.
     """
-    assert 1 <= pad <= BS - 1
-    bm, _, _, _, c = feats.shape
-    fz = jnp.concatenate([feats, jnp.zeros((1, BS, BS, BS, c), feats.dtype)],
+    bm, bx, by, bz, c = feats.shape
+    assert 1 <= pad <= min(bx, by, bz)
+    fz = jnp.concatenate([feats, jnp.zeros((1, bx, by, bz, c), feats.dtype)],
                          axis=0)
 
     def slab(block, d, axis):
         """Slice one brick block for direction d along spatial axis."""
+        ext = block.shape[axis]
         if d == -1:
-            return jax.lax.slice_in_dim(block, BS - pad, BS, axis=axis)
+            return jax.lax.slice_in_dim(block, ext - pad, ext, axis=axis)
         if d == 0:
             return block
         return jax.lax.slice_in_dim(block, 0, pad, axis=axis)
@@ -330,18 +379,19 @@ def brick_down_conv(fine_feats: jnp.ndarray, group_map: jnp.ndarray,
                     coarse: BrickLevel, weights: jnp.ndarray) -> jnp.ndarray:
     """k2s2 down conv: fine level -> coarse level.
 
-    fine_feats: (Bmf, 4,4,4, Cin); group_map: (Bmc, 8); weights: (8, Cin,
-    Cout) in (0,1)^3 lexicographic order (== ops.sparse_conv down layout).
+    fine_feats: (Bmf, bx,by,bz, Cin); group_map: (Bmc, 8); weights: (8,
+    Cin, Cout) in (0,1)^3 lexicographic order (== ops.sparse_conv down
+    layout).
     """
-    bmf = fine_feats.shape[0]
+    _, bx, by, bz, _ = fine_feats.shape
     cin, cout = weights.shape[-2:]
     bmc = group_map.shape[0]
     fz = jnp.concatenate(
-        [fine_feats, jnp.zeros((1, BS, BS, BS, cin), fine_feats.dtype)], 0)
-    grp = fz[group_map]  # (Bmc, 8, 4,4,4, Cin)
-    grp = grp.reshape(bmc, 2, 2, 2, BS, BS, BS, cin)
+        [fine_feats, jnp.zeros((1, bx, by, bz, cin), fine_feats.dtype)], 0)
+    grp = fz[group_map]  # (Bmc, 8, bx,by,bz, Cin)
+    grp = grp.reshape(bmc, 2, 2, 2, bx, by, bz, cin)
     grp = grp.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
-        bmc, 2 * BS, 2 * BS, 2 * BS, cin)
+        bmc, 2 * bx, 2 * by, 2 * bz, cin)
     w = weights.reshape(2, 2, 2, cin, cout)
     out = jax.lax.conv_general_dilated(
         grp, w.astype(grp.dtype), window_strides=(2, 2, 2), padding="VALID",
@@ -354,34 +404,35 @@ def brick_up_conv(coarse_feats: jnp.ndarray, parent_map: jnp.ndarray,
                   weights: jnp.ndarray) -> jnp.ndarray:
     """Transposed k2s2: coarse level -> the encoder's fine level.
 
-    coarse_feats: (Bmc, 4,4,4, Cin); parent_map: (Bmf,); octant: (Bmf, 3);
-    weights: (8, Cin, Cout). fine voxel p takes W[p & 1] . coarse[p >> 1]
-    (== ops.sparse_conv_transpose semantics).
+    coarse_feats: (Bmc, bx,by,bz, Cin); parent_map: (Bmf,); octant:
+    (Bmf, 3); weights: (8, Cin, Cout). fine voxel p takes
+    W[p & 1] . coarse[p >> 1] (== ops.sparse_conv_transpose semantics).
     """
-    bmc = coarse_feats.shape[0]
+    bmc, bx, by, bz, _ = coarse_feats.shape
     cin, cout = weights.shape[-2:]
     cz = jnp.concatenate(
-        [coarse_feats, jnp.zeros((1, BS, BS, BS, cin), coarse_feats.dtype)],
+        [coarse_feats, jnp.zeros((1, bx, by, bz, cin), coarse_feats.dtype)],
         axis=0)
-    par = cz[jnp.minimum(parent_map, bmc)]  # (Bmf, 4,4,4, Cin)
+    par = cz[jnp.minimum(parent_map, bmc)]  # (Bmf, bx,by,bz, Cin)
 
     # octant select FIRST (on the small Cin tensor): the fine brick's
     # parents are the 2^3 coarse voxels at [o*2, o*2+2) per axis — a
     # where() between two static halves per axis. Selecting after
     # upsampling would materialize the parent's full 8^3 x Cout field.
     def pick(t, bit, axis):
-        lo = jax.lax.slice_in_dim(t, 0, BS // 2, axis=axis)
-        hi = jax.lax.slice_in_dim(t, BS // 2, BS, axis=axis)
+        ext = t.shape[axis]
+        lo = jax.lax.slice_in_dim(t, 0, ext // 2, axis=axis)
+        hi = jax.lax.slice_in_dim(t, ext // 2, ext, axis=axis)
         shape = [t.shape[0]] + [1] * (t.ndim - 1)
         return jnp.where(bit.reshape(shape), hi, lo)
 
     sub = pick(par, octant[:, 0].astype(bool), 1)
     sub = pick(sub, octant[:, 1].astype(bool), 2)
-    sub = pick(sub, octant[:, 2].astype(bool), 3)  # (Bmf, 2,2,2, Cin)
+    sub = pick(sub, octant[:, 2].astype(bool), 3)  # (Bmf, bx/2,by/2,bz/2, C)
 
     # upsample: fine voxel 2c+o of the brick gets W[o] . parent_sub[c]
     up = jnp.einsum("bxyzc,kcd->bxyzkd", sub, weights.astype(sub.dtype))
-    up = up.reshape(-1, 2, 2, 2, 2, 2, 2, cout)
+    up = up.reshape(-1, bx // 2, by // 2, bz // 2, 2, 2, 2, cout)
     up = up.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
-        -1, BS, BS, BS, cout)
+        -1, bx, by, bz, cout)
     return up * fine.occ[..., None].astype(up.dtype)

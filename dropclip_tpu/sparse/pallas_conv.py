@@ -127,6 +127,8 @@ def pallas_brick_conv3(feats: jnp.ndarray, nbr: jnp.ndarray,
     cout = weights.shape[-1]
     assert c % 128 == 0 and cout % 128 == 0, (c, cout)
     assert bm % TILE == 0, (bm, TILE)
+    # this opt-in kernel is written for the isotropic 4^3 layout only
+    assert feats.shape[1:4] == (BS, BS, BS), feats.shape
     fz = jnp.concatenate(
         [feats.reshape(bm, BV, c),
          jnp.zeros((1, BV, c), feats.dtype)], axis=0)

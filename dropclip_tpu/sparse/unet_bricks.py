@@ -16,15 +16,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .bricks import (BV, BrickTopology, brick_conv, brick_down_conv,
+from .bricks import (BrickTopology, brick_conv, brick_down_conv,
                      brick_up_conv, gather_points, scatter_points)
 from .unet import UNET_ARCHS, MaskedBatchNorm, _kaiming_fan_out
 
 
 def _bn_view(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, Bm, 4,4,4, C) -> (B, Bm*64, C) for batch-norm over voxels."""
-    b, bm = x.shape[0], x.shape[1]
-    return x.reshape(b, bm * BV, x.shape[-1])
+    """(B, Bm, bx,by,bz, C) -> (B, Bm*bv, C) for batch-norm over voxels."""
+    b = x.shape[0]
+    return x.reshape(b, -1, x.shape[-1])
 
 
 def _bn(name: str, x, occ, train):
@@ -162,11 +162,13 @@ class MinkUNetBricks(nn.Module):
         P, L = self.planes, self.layers
         lvls = topo.levels
         cap0 = lvls[0].occ.shape[1]
+        bshape0 = tuple(lvls[0].occ.shape[2:5])  # batched occ: (B, Bm, ...)
         conv_c = nn.remat(BConv) if self.remat else BConv
         down_c = nn.remat(BConvDown) if self.remat else BConvDown
         up_c = nn.remat(BConvUp) if self.remat else BConvUp
 
-        dense = jax.vmap(lambda f, r, w: scatter_points(f, r, w, cap0))(
+        dense = jax.vmap(
+            lambda f, r, w: scatter_points(f, r, w, cap0, bshape0))(
             x, topo.point_row, topo.point_within)
 
         out = conv_c(self.init_dim, ksize=5, name="conv0p1s1")(dense, lvls[0])

@@ -142,13 +142,16 @@ def main() -> None:
                 if cfg.autotune_capacities is not None else True)
     if ((cfg.sparse_backend or "bricks") == "bricks"
             and not cfg.brick_capacities and autotune):
+        from ..distill.engine import brick_shape_of
         from ..sparse.bricks import autotune_brick_capacities
 
         sample = collate([train_ds[i % len(train_ds)] for i in range(16)])
         cfg.brick_capacities = list(autotune_brick_capacities(
             np.asarray(sample["coords"]), np.asarray(sample["mask"]),
-            num_levels=int(cfg.num_levels or 5), slack=1.5))
-        logger.info("autotuned brick capacities: %s", cfg.brick_capacities)
+            num_levels=int(cfg.num_levels or 5), slack=1.5,
+            brick_shape=brick_shape_of(cfg)))
+        logger.info("autotuned brick capacities: %s (brick shape %s)",
+                    cfg.brick_capacities, brick_shape_of(cfg))
 
     example = collate([train_ds[0]] * max(n_dev, 1))
     topo0 = build_topology(cfg, jnp.asarray(example["coords"]),

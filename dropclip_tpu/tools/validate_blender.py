@@ -58,6 +58,19 @@ def main() -> None:
     if not upper_bound:
         model = build_student_for(cfg)
         example = MVTODDataset.collate([val_ds[0]])
+        # same capacity autotune as the trainer (smaller static caps ->
+        # faster eval; slack absorbs scene variance)
+        if ((cfg.sparse_backend or "bricks") == "bricks"
+                and not cfg.brick_capacities):
+            from ..distill.engine import brick_shape_of
+            from ..sparse.bricks import autotune_brick_capacities
+
+            sample = MVTODDataset.collate(
+                [val_ds[i % len(val_ds)] for i in range(16)])
+            cfg.brick_capacities = list(autotune_brick_capacities(
+                np.asarray(sample["coords"]), np.asarray(sample["mask"]),
+                num_levels=int(cfg.num_levels or 5), slack=1.5,
+                brick_shape=brick_shape_of(cfg)))
         topo0 = build_topology(cfg, jnp.asarray(example["coords"]),
                                jnp.asarray(example["mask"]))
         tx = make_optimizer(cfg, 1)

@@ -29,17 +29,19 @@ def batch(rng):
     return coords, mask, feats
 
 
-def topos(coords, mask):
+def topos(coords, mask, brick_shape=(4, 4, 4)):
     vt = build_unet_topology(coords, mask, num_levels=5,
                              capacities=(256,) * 5)
     bt = build_brick_topology(coords, mask, num_levels=5,
-                              brick_capacities=(256, 128, 64, 32, 32))
+                              brick_capacities=(256, 128, 64, 32, 32),
+                              brick_shape=brick_shape)
     return vt, bt
 
 
-def test_unet_parity_same_params(batch):
+@pytest.mark.parametrize("brick_shape", [(4, 4, 4), (4, 4, 2), (2, 4, 4)])
+def test_unet_parity_same_params(batch, brick_shape):
     coords, mask, feats = batch
-    vt, bt = topos(coords, mask)
+    vt, bt = topos(coords, mask, brick_shape)
     gather_net = MinkUNet(**ARCH)
     brick_net = MinkUNetBricks(**ARCH)
 
