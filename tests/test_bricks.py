@@ -164,3 +164,32 @@ def test_autotune_brick_capacities(rng):
                               num_levels=4, brick_capacities=caps)
     kept = np.asarray(bt.point_row) < caps[0]
     assert np.all(kept[np.asarray(mask)])
+
+
+@pytest.mark.parametrize("bshape", [(4, 4, 2), (2, 2, 2)])
+def test_anisotropic_scatter_gather_and_halo(rng, bshape):
+    """Feature ops at non-default brick shapes: exact roundtrip, halo
+    center identity, occupancy count."""
+    cap = 256
+    coords, mask = make_coords(rng, 150, cap)
+    bt = build_brick_topology(coords, mask, num_levels=2,
+                              brick_capacities=(256, 128),
+                              brick_shape=bshape)
+    feats = jnp.asarray(rng.randn(cap, 8).astype(np.float32)
+                        * np.asarray(mask)[:, None])
+    assert bt.levels[0].occ.shape[1:] == bshape
+    dense = scatter_points(feats, bt.point_row, bt.point_within, 256, bshape)
+    back = gather_points(dense, bt.point_row, bt.point_within)
+    assert np.allclose(np.asarray(back), np.asarray(feats))
+    assert int(np.asarray(bt.levels[0].occ).sum()) == int(
+        np.asarray(mask).sum())
+    halo = halo_exchange(dense, bt.levels[0].nbr, pad=1)
+    bx, by, bz = bshape
+    assert np.allclose(
+        np.asarray(halo[:, 1:1 + bx, 1:1 + by, 1:1 + bz]), np.asarray(dense))
+    # voxel -> brick mapping is consistent with the brick coords
+    rows = np.asarray(bt.point_row)
+    bcoords = np.asarray(bt.levels[0].coords)
+    m = np.asarray(mask) & (rows < 256)
+    want = np.asarray(coords)[m] // np.array(bshape)
+    assert np.array_equal(bcoords[rows[m]], want)

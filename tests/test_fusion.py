@@ -242,3 +242,35 @@ def test_splat_object_features(rng):
     assert np.allclose(out[1], objf[1])
     assert np.allclose(out[4], 0)   # out of range
     assert np.allclose(out[5], 0)   # negative
+
+
+def test_fuse_points_shards_over_point_axis(scene):
+    """The point axis shards over the mesh (SURVEY §5's 'sequence
+    parallelism' analogue): fusing with points split across 8 devices
+    must produce the unsharded result — GSPMD inserts the collectives."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dropclip_tpu.core.mesh import POINT_AXIS, make_mesh
+
+    pts, _, poses, depths, segs, pfeats, qembs = scene
+    cfg = FusionConfig(image_hw=(H, W))
+    args = tuple(jnp.asarray(a) for a in
+                 (pts, depths, segs, poses, pfeats, qembs))
+    want = fuse_points(*args[:5], args[5], jnp.asarray(KMAT), cfg)
+
+    mesh = make_mesh(n_data=1, n_point=8)
+    pad = (-N) % 8  # point dim must divide the axis; pad with far points
+    pts_p = jnp.concatenate(
+        [args[0], jnp.full((pad, 3), 1e3, jnp.float32)])
+    pts_sh = jax.device_put(pts_p, NamedSharding(mesh, P(POINT_AXIS)))
+    rest = tuple(jax.device_put(a, NamedSharding(mesh, P()))
+                 for a in args[1:] + (jnp.asarray(KMAT),))
+
+    fn = jax.jit(lambda p, d, s, cp, pf, q, k: fuse_points(
+        p, d, s, cp, pf, q, k, cfg))
+    got = fn(pts_sh, *rest)
+    np.testing.assert_allclose(np.asarray(got.features)[:N],
+                               np.asarray(want.features), atol=1e-4)
+    assert np.array_equal(np.asarray(got.visibility)[:, :N],
+                          np.asarray(want.visibility))
