@@ -34,6 +34,7 @@ DINO_STD = (0.229, 0.224, 0.225)
 class Attention(nn.Module):
     heads: int
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -45,6 +46,12 @@ class Attention(nn.Module):
         q = q.reshape(b, t, self.heads, hd)
         k = k.reshape(b, t, self.heads, hd)
         v = v.reshape(b, t, self.heads, hd)
+        if self.use_flash:
+            from ..ops.attention import oneshot_attention, supports
+
+            if supports(t, hd, causal=False):
+                out = oneshot_attention(q, k, v).reshape(b, t, d)
+                return nn.Dense(d, dtype=self.dtype, name="out")(out)
         logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
                             preferred_element_type=jnp.float32) * hd ** -0.5
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
@@ -56,6 +63,7 @@ class Block(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -64,6 +72,7 @@ class Block(nn.Module):
         ls2 = self.param("ls2", nn.initializers.ones, (d,))
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(self.heads, dtype=self.dtype,
+                          use_flash=self.use_flash,
                           name="attn")(h) * ls1.astype(x.dtype)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="fc1")(h)
@@ -83,6 +92,8 @@ class DinoV2ViT(nn.Module):
     image_resolution: int = 518
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    use_flash: bool = False  # one-shot VMEM attention kernel on TPU
+    # (ops/attention.py; same auto-switch as the CLIP teacher)
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -101,7 +112,7 @@ class DinoV2ViT(nn.Module):
         x = x + self._interp_pos(pe, gh, gw).astype(x.dtype)
         for i in range(self.layers):
             x = Block(self.heads, self.mlp_ratio, dtype=self.dtype,
-                      name=f"block_{i}")(x)
+                      use_flash=self.use_flash, name=f"block_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         return x[:, 0], x[:, 1:].reshape(b, gh, gw, self.width)
 
@@ -125,10 +136,15 @@ DINOV2_CONFIGS = {
 }
 
 
-def build_dinov2(name: str, dtype=jnp.float32) -> DinoV2ViT:
+def build_dinov2(name: str, dtype=jnp.float32, use_flash=None) -> DinoV2ViT:
     if name not in DINOV2_CONFIGS:
         raise ValueError(f"unknown DINOv2 config {name!r}")
-    return DinoV2ViT(dtype=dtype, **DINOV2_CONFIGS[name])
+    if use_flash is None:
+        import jax as _jax
+
+        use_flash = _jax.default_backend() == "tpu"
+    return DinoV2ViT(dtype=dtype, use_flash=use_flash,
+                     **DINOV2_CONFIGS[name])
 
 
 def _np(t) -> np.ndarray:

@@ -43,13 +43,19 @@ def main() -> None:
     p.add_argument("--bin", action="store_true",
                    help="log-binned descriptors")
     p.add_argument("--load-size", type=int, default=224)
+    p.add_argument("--family", choices=["auto", "dinov2", "dino_v1"],
+                   default="auto")
     a = p.parse_args()
 
     import cv2
     import jax
     import jax.numpy as jnp
 
-    if not a.model.startswith("dinov2"):
+    # hi-res DINO v1 / timm models take the stride-patched path; dinov2
+    # (and, by default, the shared "tiny-test" smoke config) use the
+    # featurizer below
+    if a.family == "dino_v1" or (
+            a.family == "auto" and a.model.startswith(("dino_vit", "vit_"))):
         return _main_dino_v1(a)
 
     from dropclip_tpu.teachers.dinov2 import (Dinov2Extractor, build_dinov2,
