@@ -254,7 +254,7 @@ def main_train():
                        feat_dim=16 if smoke else 768, loss_type="cosine",
                        base_lr=3e-4, min_lr=1e-4, epochs=200,
                        weight_decay=1e-5, max_norm=5.0,
-                       brick_shape=[4, 4, 2]))
+                       brick_shape=[4, 4, 2], remat=False))
     rng = np.random.RandomState(0)
     ext = 8 if smoke else 40
     coords_list, mask_list = [], []
