@@ -8,9 +8,10 @@ jit/vmap (no boolean indexing).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -98,3 +99,58 @@ def bicubic_upsample(feat: jnp.ndarray, image_hw: Tuple[int, int]) -> jnp.ndarra
     from ..ops.resize import bicubic_resize
 
     return bicubic_resize(feat, image_hw)
+
+
+def project_2d_features_to_3d(depth, features, K,
+                              center_crop: Optional[int] = None,
+                              transform_coords=None,
+                              subsample_step: Optional[int] = None,
+                              camera_pose=None):
+    """Pair every depth pixel's 3D point with its 2D feature vector
+    (reference utils/projections.py:108-147).
+
+    depth: (H, W); features: (H, W, C) aligned per pixel (or a larger map
+    cropped alongside depth when ``center_crop`` is given). Optional
+    center crop, per-dataset camera-axis fix (``transform_coords``,
+    reference _cvt_regrad_coord :89-92), ::step subsampling, and
+    cam->world transform via ``camera_pose``. Returns (pc (N, 3),
+    features (N, C)) — all jnp, jit-friendly (static crop/step).
+    """
+    from .transforms import transform_pointcloud_to_world_frame
+
+    depth = jnp.asarray(depth)
+    features = jnp.asarray(features)
+    if center_crop:
+        def crop(img, size):
+            h, w = img.shape[:2]
+            y0 = (h - size) // 2
+            x0 = (w - size) // 2
+            return img[y0: y0 + size, x0: x0 + size]
+
+        depth = crop(depth, center_crop)
+        if features.shape[:2] != depth.shape[:2]:
+            features = crop(features, center_crop)
+    pc = depth_to_pointcloud(depth, jnp.asarray(K)).reshape(-1, 3)
+    features = features.reshape(-1, features.shape[-1])
+    if transform_coords is not None:
+        pc = transform_coords(pc)
+    if subsample_step:
+        pc = pc[::subsample_step]
+        features = features[::subsample_step]
+    if camera_pose is not None:
+        pc = transform_pointcloud_to_world_frame(pc, jnp.asarray(camera_pose))
+    return pc, features
+
+
+def pool_multiview_features(aggr_pc, aggr_features):
+    """Max-pool features over duplicate 3D points (reference
+    utils/projections.py:245-261). Host-side (numpy), like the reference:
+    runs once per scene during offline ingest, outside the jit path.
+    Returns (unique_points (U, 3), pooled (U, C))."""
+    aggr_pc = np.asarray(aggr_pc)
+    aggr_features = np.asarray(aggr_features)
+    uniq, inv = np.unique(aggr_pc, axis=0, return_inverse=True)
+    pooled = np.full((len(uniq), aggr_features.shape[-1]), -np.inf,
+                     aggr_features.dtype)
+    np.maximum.at(pooled, inv, aggr_features)
+    return uniq, pooled

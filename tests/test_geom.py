@@ -97,3 +97,41 @@ def test_mvtod_intrinsics():
     assert cam.width == 640 and cam.height == 480
     assert abs(cam.fx - 444.44444444) < 1e-6
     assert cam.cx == 319.5 and cam.cy == 239.5
+
+
+def test_project_2d_features_to_3d(rng):
+    from dropclip_tpu.geom.projections import (depth_to_pointcloud,
+                                               project_2d_features_to_3d)
+
+    K = np.array([[50.0, 0, 16], [0, 50.0, 12], [0, 0, 1]], np.float32)
+    depth = rng.uniform(0.5, 2.0, (24, 32)).astype(np.float32)
+    feats = rng.randn(24, 32, 5).astype(np.float32)
+    pc, f = project_2d_features_to_3d(depth, feats, K)
+    assert pc.shape == (24 * 32, 3) and f.shape == (24 * 32, 5)
+    want = np.asarray(depth_to_pointcloud(jnp.asarray(depth),
+                                          jnp.asarray(K))).reshape(-1, 3)
+    assert np.allclose(np.asarray(pc), want)
+    # center crop aligns a larger feature map with the cropped depth
+    big = rng.randn(48, 64, 5).astype(np.float32)
+    pc2, f2 = project_2d_features_to_3d(depth, big, K, center_crop=16,
+                                        subsample_step=2)
+    assert pc2.shape == (128, 3) and f2.shape == (128, 5)
+    assert np.allclose(np.asarray(f2)[0], big[16 + 0, 24 + 0])
+    # world transform
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [1, 2, 3]
+    pc3, _ = project_2d_features_to_3d(depth, feats, K, camera_pose=T)
+    assert np.allclose(np.asarray(pc3), np.asarray(pc) + [1, 2, 3],
+                       atol=1e-5)
+
+
+def test_pool_multiview_features(rng):
+    from dropclip_tpu.geom.projections import pool_multiview_features
+
+    pts = np.repeat(rng.randn(10, 3).astype(np.float32), 3, axis=0)
+    feats = rng.randn(30, 4).astype(np.float32)
+    uniq, pooled = pool_multiview_features(pts, feats)
+    assert uniq.shape == (10, 3)
+    for i, p in enumerate(uniq):
+        rows = np.all(pts == p, axis=1)
+        assert np.allclose(pooled[i], feats[rows].max(axis=0))
