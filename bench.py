@@ -29,12 +29,9 @@ import time
 
 import numpy as np
 
-if os.environ.get("JAX_PLATFORMS"):
-    # honor JAX_PLATFORMS even against plugins that force-register
-    # (the axon TPU plugin ignores the env var; the config knob wins)
-    import jax
+from dropclip_tpu.core.platform import honor_jax_platforms_env
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_jax_platforms_env()
 
 # fusion: reference ingest ~33 s/scene on one modern GPU (800+ crops/scene
 # through PIL preprocessing + batch-12 fp16 ViT-L forwards ~13-20 s, o3d

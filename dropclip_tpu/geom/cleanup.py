@@ -99,6 +99,9 @@ def remove_stat_outlier(points: np.ndarray, n_pts: int = 25,
     keep points whose mean ``n_pts``-NN distance < mean + ratio * std.
     Returns (kept points, kept indices)."""
     pts = jnp.asarray(points, jnp.float32)
+    if pts.shape[0] <= 1:  # no neighbors to judge by — keep everything
+        ind = np.arange(pts.shape[0])
+        return np.asarray(points), ind
     md = np.asarray(_knn_mean_dist(pts, jnp.ones(pts.shape[0], bool),
                                    min(n_pts, pts.shape[0] - 1)))
     thresh = md.mean() + ratio * md.std()

@@ -120,17 +120,23 @@ def project_2d_features_to_3d(depth, features, K,
 
     depth = jnp.asarray(depth)
     features = jnp.asarray(features)
+    K = jnp.asarray(K)
     if center_crop:
         def crop(img, size):
             h, w = img.shape[:2]
             y0 = (h - size) // 2
             x0 = (w - size) // 2
-            return img[y0: y0 + size, x0: x0 + size]
+            return img[y0: y0 + size, x0: x0 + size], (x0, y0)
 
-        depth = crop(depth, center_crop)
+        (depth, (x0, y0)) = crop(depth, center_crop)
         if features.shape[:2] != depth.shape[:2]:
-            features = crop(features, center_crop)
-    pc = depth_to_pointcloud(depth, jnp.asarray(K)).reshape(-1, 3)
+            features, _ = crop(features, center_crop)
+        # shift the principal point by the crop offset: K describes the
+        # FULL image, and cropped pixel (0, 0) is full-image (x0, y0).
+        # (Deviation: the reference :118-128 projects the cropped depth
+        # with the uncropped intrinsics, displacing every ray.)
+        K = K.at[0, 2].add(-x0).at[1, 2].add(-y0)
+    pc = depth_to_pointcloud(depth, K).reshape(-1, 3)
     features = features.reshape(-1, features.shape[-1])
     if transform_coords is not None:
         pc = transform_coords(pc)

@@ -50,15 +50,19 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, t: int, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-# conservative VMEM budget for the per-program working set (scores f32 +
-# probs + q/k/v/out blocks, double-buffered by the pipeline)
+# conservative VMEM budget for the per-program working set (f32 scores +
+# input-dtype probs + q/k/v/out blocks, double-buffered by the pipeline)
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def supports(t: int, d: int, causal: bool) -> bool:
-    """True if the one-shot kernel handles this attention shape."""
+def supports(t: int, d: int, causal: bool, itemsize: int = 2) -> bool:
+    """True if the one-shot kernel handles this attention shape.
+
+    ``itemsize``: bytes per input element (2 for bf16 — pass
+    ``q.dtype.itemsize`` for other dtypes; f32 inputs nearly double the
+    working set and lower the supported T cutoff)."""
     tq = tk = _round_up(t, 128)
-    need = tq * tk * 6 + 2 * (2 * tq * d + 2 * tk * d) * 2
+    need = tq * tk * (4 + itemsize) + 2 * (2 * tq * d + 2 * tk * d) * itemsize
     return not causal and need <= _VMEM_BUDGET
 
 

@@ -47,8 +47,11 @@ DEFAULT_BRICK_SHAPE = (4, 4, 4)
 
 def _shifts(bshape: Tuple[int, int, int]) -> Tuple[int, int, int]:
     for s in bshape:
-        if s < 1 or s & (s - 1):
-            raise ValueError(f"brick shape {bshape} must be powers of two")
+        # >= 2 because the transposed conv halves each brick axis
+        # (brick_up_conv's octant select) and the k5 stem needs pad 2
+        if s < 2 or s & (s - 1):
+            raise ValueError(
+                f"brick shape {bshape} must be powers of two >= 2")
     return tuple(s.bit_length() - 1 for s in bshape)
 
 

@@ -109,7 +109,7 @@ class MultiHeadAttention(nn.Module):
             # one-shot VMEM kernel beats both flash and XLA dpa at ViT
             # lengths (17.0 vs 13.0 / 13.6 TF/s at T=769, see PERF.md);
             # flash remains for causal (text tower) and long sequences
-            if supports(t, hd, causal):
+            if supports(t, hd, causal, itemsize=q.dtype.itemsize):
                 out = oneshot_attention(q, k, v)
             else:
                 out = _flash_attention(q, k, v, causal)

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.resize import bicubic_resize
+from .dinov2 import _np  # shared torch-tensor -> f32 numpy converter
 
 # reference dino_vit_extractor.py:52-53
 DINO_V1_MEAN = (0.485, 0.456, 0.406)
@@ -193,12 +194,6 @@ def build_dino_v1(model_type: str, stride: int, dtype=jnp.float32
         raise ValueError(f"unknown DINO v1 model_type {model_type!r}")
     return DinoV1ViT(stride=stride, dtype=dtype,
                      **DINO_V1_CONFIGS[model_type])
-
-
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().float().numpy()
-    return np.asarray(t, np.float32)
 
 
 def from_dino_v1(sd: Mapping[str, Any]) -> Dict[str, Any]:

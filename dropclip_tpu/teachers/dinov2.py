@@ -49,7 +49,7 @@ class Attention(nn.Module):
         if self.use_flash:
             from ..ops.attention import oneshot_attention, supports
 
-            if supports(t, hd, causal=False):
+            if supports(t, hd, causal=False, itemsize=q.dtype.itemsize):
                 out = oneshot_attention(q, k, v).reshape(b, t, d)
                 return nn.Dense(d, dtype=self.dtype, name="out")(out)
         logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,

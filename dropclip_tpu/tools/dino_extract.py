@@ -92,10 +92,7 @@ def main() -> None:
 def _main_dino_v1(a) -> None:
     """Hi-res stride-patched descriptor path (reference
     dino_vit_extractor.py:356-364)."""
-    import glob as _glob
-
     import cv2
-    import numpy as _np
 
     from dropclip_tpu.teachers.dino_v1 import ViTExtractor, from_dino_v1
 
@@ -109,16 +106,16 @@ def _main_dino_v1(a) -> None:
     else:
         print("WARNING: no --checkpoint; RANDOM weights (smoke mode)")
     ex = ViTExtractor(a.model, stride=a.stride, variables=variables)
-    files = sorted(_glob.glob(a.images))
+    files = sorted(glob.glob(a.images))
     assert files, f"no images match {a.images}"
     os.makedirs(a.out, exist_ok=True)
     for f in files:
-        img = _np.ascontiguousarray(cv2.imread(f)[:, :, ::-1])
+        img = np.ascontiguousarray(cv2.imread(f)[:, :, ::-1])
         batch = ex.preprocess(img, load_size=a.load_size)
         desc = ex.extract_descriptors(batch, layer=a.layer, facet=a.facet,
                                       bin=a.bin)
         name = os.path.splitext(os.path.basename(f))[0]
-        _np.save(os.path.join(a.out, f"{name}.npy"), _np.asarray(desc))
+        np.save(os.path.join(a.out, f"{name}.npy"), np.asarray(desc))
         print(f"{name}: descriptors {tuple(desc.shape)}")
 
 

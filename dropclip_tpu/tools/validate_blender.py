@@ -59,9 +59,12 @@ def main() -> None:
         model = build_student_for(cfg)
         example = MVTODDataset.collate([val_ds[0]])
         # same capacity autotune as the trainer (smaller static caps ->
-        # faster eval; slack absorbs scene variance)
+        # faster eval; slack absorbs scene variance), honoring the same
+        # disable flag so train/eval topologies can't silently diverge
+        autotune = (cfg.autotune_capacities
+                    if cfg.autotune_capacities is not None else True)
         if ((cfg.sparse_backend or "bricks") == "bricks"
-                and not cfg.brick_capacities):
+                and not cfg.brick_capacities and autotune):
             from ..distill.engine import brick_shape_of
             from ..sparse.bricks import autotune_brick_capacities
 

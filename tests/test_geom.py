@@ -117,6 +117,13 @@ def test_project_2d_features_to_3d(rng):
                                         subsample_step=2)
     assert pc2.shape == (128, 3) and f2.shape == (128, 5)
     assert np.allclose(np.asarray(f2)[0], big[16 + 0, 24 + 0])
+    # cropped rays must MATCH the full-image rays at the same pixels
+    # (principal point shifted by the crop offset; the reference gets
+    # this wrong — documented deviation)
+    pc_full = np.asarray(pc).reshape(24, 32, 3)
+    pc_crop = np.asarray(project_2d_features_to_3d(
+        depth, feats, K, center_crop=16)[0]).reshape(16, 16, 3)
+    assert np.allclose(pc_crop, pc_full[4:20, 8:24], atol=1e-5)
     # world transform
     T = np.eye(4, dtype=np.float32)
     T[:3, 3] = [1, 2, 3]
