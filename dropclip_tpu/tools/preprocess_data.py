@@ -252,10 +252,187 @@ def _intrinsic_matrix(ci: Dict) -> np.ndarray:
                      [0, 0, 1]], np.float32)
 
 
+def _voxel_pool(xyz: np.ndarray, payloads: Dict[str, np.ndarray],
+                labels: np.ndarray, voxel_size: float):
+    """Host voxel downsample: mean of xyz + every payload, majority label
+    (the REGRAD-ingest analogue of the reference's o3d voxel_down +
+    KD-tree matching + per-point feature counters,
+    utils/projections.py:151-211; ~100k points/scene -> numpy)."""
+    grid = np.floor(xyz / voxel_size).astype(np.int64)
+    grid -= grid.min(axis=0)
+    dims = grid.max(axis=0) + 1
+    key = (grid[:, 0] * dims[1] + grid[:, 1]) * dims[2] + grid[:, 2]
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    u = len(uniq)
+
+    def mean_of(arr):
+        out = np.zeros((u,) + arr.shape[1:], np.float64)
+        np.add.at(out, inv, arr)
+        return (out / counts.reshape((-1,) + (1,) * (arr.ndim - 1))
+                ).astype(np.float32)
+
+    # majority label: votes into a (u, L) table
+    lab_ids, lab_inv = np.unique(labels, return_inverse=True)
+    votes = np.zeros((u, len(lab_ids)), np.int64)
+    np.add.at(votes, (inv, lab_inv), 1)
+    lab_out = lab_ids[np.argmax(votes, axis=1)]
+    return (mean_of(xyz), {k: mean_of(v) for k, v in payloads.items()},
+            lab_out)
+
+
+def process_regrad_scene(scene: Dict, camera_poses: Dict, K: np.ndarray,
+                         extractor: ClipExtractor, out_path: str,
+                         voxel_size: float, max_objects: int = 32) -> Dict:
+    """One REGRAD scene: per-view 2D/3D consistency cleanup, patch-CLIP
+    pixel fusion, per-object obj-prior fusion, processed-h5 write
+    (reference tools/preprocess_data.py:431-607 + projections.py:151-241;
+    h5 schema of save_multiview_dataset_h5py :40-58).
+
+    Cleanup (reference :476-546): drop 3D points whose projection lands
+    outside their object's 2D mask. Patch fusion: per-view ViT patch
+    features sampled at each point's pixel (NN grid, the reference's
+    reconstruct_feature_map path), voxel-mean over views. Object fusion:
+    per-object mean of per-view obj-prior features over the views where
+    the object is present (reference :233-235 means over all views; zero
+    rows from absent views are excluded here — deviation, strictly more
+    signal).
+    """
+    from ..geom.transforms import transform_pointcloud_to_camera_frame
+
+    t0 = time.time()
+    h = w = None
+    imgs, segs, pcs, rgbs, labs, pixs = [], [], [], [], [], []
+    for v, e in sorted(scene["views"].items()):
+        if not e.get("valid"):
+            continue
+        img, seg = e["image"], e["segm2d"]
+        xyz, rgb, lab = e["pc_xyz"], e["pc_rgb"], e["pc_label"]
+        h, w = img.shape[:2]
+        cam = np.array(transform_pointcloud_to_camera_frame(
+            jnp.asarray(xyz, jnp.float32),
+            jnp.asarray(camera_poses[v], jnp.float32)))
+        # REGRAD implicit camera frame flip (reference projections.py:89-92)
+        cam[:, 1] *= -1
+        cam[:, 2] *= -1
+        uvw = cam @ K.T
+        z = np.where(np.abs(uvw[:, 2]) < 1e-9, 1e-9, uvw[:, 2])
+        uv = (uvw[:, :2] / z[:, None])
+        ys = np.clip(uv[:, 1].astype(int), 0, h - 1)
+        xs = np.clip(uv[:, 0].astype(int), 0, w - 1)
+        keep = np.zeros(len(xyz), bool)
+        for obj in np.unique(seg)[1:] if seg.min() == 0 else np.unique(seg):
+            m3 = lab == obj
+            keep[m3] = seg[ys[m3], xs[m3]] == obj
+        if not keep.any():
+            continue
+        imgs.append(img)
+        segs.append(seg)
+        pcs.append(xyz[keep])
+        rgbs.append(rgb[keep])
+        labs.append(lab[keep])
+        pixs.append((ys[keep], xs[keep]))
+    if not pcs:
+        return {"points": 0, "skipped": True}
+    t_clean = time.time() - t0
+
+    # per-view dense patch features, sampled at each kept point's pixel
+    t0 = time.time()
+    extractor.set_mode("patch")
+    patch = np.asarray(extractor.extract(np.stack(imgs)))  # (V, ph, pw, C)
+    ph, pw = patch.shape[1:3]
+    feats = []
+    for i in range(len(pcs)):
+        ys, xs = pixs[i]
+        f = patch[i, (ys * ph // h), (xs * pw // w)]
+        feats.append(f / np.maximum(
+            np.linalg.norm(f, axis=-1, keepdims=True), 1e-6))
+
+    # per-(view, object) obj-prior features
+    obj_ids = np.unique(np.concatenate(labs)).astype(np.int32)
+    extractor.set_mode("cls")
+    obj_feats, present = extractor.extract_obj_prior(
+        jnp.asarray(np.stack(imgs)),
+        jnp.asarray(np.stack(segs).astype(np.int32)),
+        obj_ids=obj_ids, present_hint=np.stack(segs))
+    obj_feats = np.asarray(obj_feats)  # (V, K, C)
+    present = np.asarray(present)
+    denom = np.maximum(present.sum(axis=0), 1)[:, None]
+    per_obj = (obj_feats * present[..., None]).sum(axis=0) / denom
+    t_teacher = time.time() - t0
+
+    # aggregate + voxel pool
+    t0 = time.time()
+    xyz_v, pooled, lab_v = _voxel_pool(
+        np.concatenate(pcs),
+        {"rgb": np.concatenate(rgbs), "mv": np.concatenate(feats)},
+        np.concatenate(labs), voxel_size)
+    t_fuse = time.time() - t0
+
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    import h5py
+
+    with h5py.File(out_path, "w") as f:
+        g = f.create_group("pointcloud")
+        g.create_dataset("xyz", data=xyz_v.astype(np.float32))
+        g.create_dataset("rgb", data=pooled["rgb"].astype(np.float32))
+        g.create_dataset("label", data=lab_v.astype(np.uint8))
+        m = f.create_group("multiview")
+        m.create_dataset("patch", data=pooled["mv"].astype(np.float32))
+        m.create_dataset("per_obj", data=per_obj.astype(np.float32))
+        m.create_dataset("obj_ids", data=obj_ids.astype(np.uint8))
+    return {"points": len(xyz_v), "objects": len(obj_ids),
+            "views": len(pcs), "t_clean": t_clean, "t_teacher": t_teacher,
+            "t_fuse": t_fuse}
+
+
+def run_regrad(args) -> None:
+    """REGRAD offline ingest (reference preprocess_regrad_aggr_multiview,
+    tools/preprocess_data.py:431-607): raw scenes -> processed h5py."""
+    from ..core.config import load_cfg_from_cfg_file, merge_cfg_from_list
+    from ..data.regrad import RegradDataset
+
+    cfg = load_cfg_from_cfg_file(args.reader_config)
+    if args.root:
+        cfg = merge_cfg_from_list(cfg, ["root_dir", args.root])
+    cfg.reference_frame = "world"  # reference :436
+    ds = RegradDataset(cfg, args.split)
+    K = _intrinsic_matrix(dict(ds.camera_info["intrinsic"]) if isinstance(
+        ds.camera_info.get("intrinsic"), dict) else
+        {"fx": ds.camera_info["intrinsic"][0][0],
+         "fy": ds.camera_info["intrinsic"][1][1],
+         "cx": ds.camera_info["intrinsic"][0][2],
+         "cy": ds.camera_info["intrinsic"][1][2]}) \
+        if "intrinsic" in ds.camera_info else np.array(
+        [[1120.0, 0, 420], [0, 1120.0, 420], [0, 0, 1]], np.float32)
+    poses = {v: np.asarray(ds.camera_info["extrinsic"][v])
+             for v in range(1, ds.nviews + 1)}
+    extractor = build_extractor(args)
+
+    end = len(ds) if args.end < 0 else min(args.end, len(ds))
+    for i in range(args.start, end):
+        sid = ds.idx_to_scene_id(i)
+        out_path = os.path.join(args.out, args.split, f"{sid}.h5py")
+        if os.path.exists(out_path):  # idempotent resume (reference :192)
+            print(f"{sid}: exists, skipping")
+            continue
+        try:
+            scene = ds[i]
+        except Exception as exc:  # reference :201-205 skips bad scenes
+            print(f"{sid}: SKIP ({exc})")
+            continue
+        stats = process_regrad_scene(scene, poses, K, extractor, out_path,
+                                     voxel_size=args.voxel_size)
+        print(f"{sid}: {stats}")
+
+
 def main() -> None:
     p = argparse.ArgumentParser("dropclip_tpu offline ingest")
-    p.add_argument("-ds", "--dataset", choices=["Blender", "Synthetic"],
+    p.add_argument("-ds", "--dataset",
+                   choices=["Blender", "REGRAD", "Synthetic"],
                    required=True)
+    p.add_argument("--reader-config", default="configs/REGRAD.yaml",
+                   help="raw-reader config for -ds REGRAD")
     p.add_argument("-r", "--root", default=None, help="raw dataset root")
     p.add_argument("-c", "--out", required=True, help="processed output dir")
     p.add_argument("--models-root", default=None)
@@ -275,6 +452,8 @@ def main() -> None:
     if args.dataset == "Blender":
         assert args.root, "-r/--root required for Blender"
         run_blender(args)
+    elif args.dataset == "REGRAD":
+        run_regrad(args)
     else:
         run_synthetic(args)
 
