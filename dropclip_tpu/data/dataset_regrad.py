@@ -79,15 +79,23 @@ class RegradDistilDataset:
         path = self.files[index]
         scene_id = os.path.splitext(os.path.basename(path))[0]
         rng = self._rng(index)
+        feat_key = self.cfg.feat_key or "per_obj"
         with h5py.File(path, "r") as f:
             xyz = f["pointcloud"]["xyz"][:]
             rgb = f["pointcloud"]["rgb"][:]
             label = f["pointcloud"]["label"][:].astype(np.int32)
-            obj_feats = f["multiview"]["per_obj"][:]
             obj_ids = f["multiview"]["obj_ids"][:].astype(np.int32)
-
-        feat = obj_feats[np.searchsorted(obj_ids, label) % len(obj_ids)]
-        feat = np.where(np.isin(label, obj_ids)[:, None], feat, 0.0)
+            if feat_key == "patch":
+                # per-POINT fused patch features (reference
+                # data/dataset.py:118-120)
+                feat = f["multiview"]["patch"][:]
+            elif feat_key == "per_obj":
+                obj_feats = f["multiview"]["per_obj"][:]
+                feat = obj_feats[np.searchsorted(obj_ids, label)
+                                 % len(obj_ids)]
+                feat = np.where(np.isin(label, obj_ids)[:, None], feat, 0.0)
+            else:
+                raise ValueError(f"unknown feat_key {feat_key!r}")
         feat_dim = feat.shape[-1]
 
         n = xyz.shape[0]

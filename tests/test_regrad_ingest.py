@@ -122,3 +122,26 @@ def test_regrad_ingest_roundtrip(raw_root, tmp_path):
     item = RegradDistilDataset(cfg, "train")[0]
     assert item["coords"].shape[0] == 512
     assert set(np.asarray(item["obj_ids"]).tolist()) == {1, 2}
+
+
+def test_patch_feat_key(raw_root, tmp_path):
+    """feat_key 'patch' loads the per-point fused features (reference
+    data/dataset.py:118-120)."""
+    from dropclip_tpu.data.dataset_regrad import RegradDistilDataset
+    from dropclip_tpu.tools.preprocess_data import (build_extractor,
+                                                    process_regrad_scene)
+
+    ds = RegradDataset(_reader_cfg(raw_root), "train")
+    ex = build_extractor(CfgNode(dict(
+        clip_model="tiny-test", clip_checkpoint=None, visual_prompt="crop",
+        crop_num_levels=1, crop_expansion_ratio=0.15, batch_size=8)))
+    out = str(tmp_path / "proc" / "train" / "s0001.h5py")
+    process_regrad_scene(ds[0], {v: np.eye(4) for v in range(1, 10)}, KMAT,
+                         ex, out, voxel_size=0.02)
+    cfg = CfgNode(dict(processed_dir=str(tmp_path / "proc"),
+                       voxel_capacity=256, voxel_size=0.02, use_color=True,
+                       manual_seed=42, use_augmentation=False,
+                       feat_key="patch"))
+    item = RegradDistilDataset(cfg, "train")[0]
+    assert item["targets"].shape[-1] == 16
+    assert np.abs(item["targets"]).sum() > 0
