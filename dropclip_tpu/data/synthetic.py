@@ -11,7 +11,7 @@ dataset -> train -> eval) end-to-end in seconds.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

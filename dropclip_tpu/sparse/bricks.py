@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geom.voxelize import INVALID_KEY, ravel_grid_coords, unravel_key
 
 BS = 4          # default brick edge (voxels)
 BV = BS ** 3    # voxels per default brick
