@@ -256,3 +256,57 @@ def test_checkpoint_roundtrip(tmp_path, rng):
                         payload["params"], restored["params"])
     assert all(jax.tree.leaves(same))
     assert restore_checkpoint(str(tmp_path / "nope"), payload) is None
+
+
+def test_data_parallel_bricks_anisotropic(rng):
+    """Same DP parity on the PRODUCTION engine config: bricks backend,
+    (4, 4, 2) brick shape (the canonical configs' choice)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dropclip_tpu.core.mesh import make_mesh
+    from dropclip_tpu.distill.engine import build_student_for, build_topology
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = CfgNode({**CFG, "sparse_backend": "bricks",
+                   "arch_3d": "MinkUNet14A", "feat_dim": 16,
+                   "brick_shape": [4, 4, 2],
+                   "brick_capacities": [64, 64, 64, 64, 64]})
+    cfg.arch_3d = None  # build_student_bricks default arch is 14D — too
+    # heavy for CPU; use the tiny topology via explicit planes instead
+    from dropclip_tpu.sparse.unet_bricks import MinkUNetBricks
+
+    model = MinkUNetBricks(out_channels=16, block="basic", layers=(1,) * 8,
+                           planes=(4, 4, 8, 8, 8, 8, 4, 4), init_dim=4,
+                           remat=False)
+    batch = make_batch(rng, b=8)
+    topo = build_topology(cfg, batch.coords, batch.mask)
+    assert topo.levels[0].occ.shape[2:] == (4, 4, 2)
+    tx = make_optimizer(cfg, iters_per_epoch=10)
+    state = create_train_state(model, topo, batch.in_feats, tx)
+
+    from dropclip_tpu.distill.engine import make_train_step
+
+    import dropclip_tpu.distill.engine as eng
+
+    orig = eng.build_student_for
+    eng.build_student_for = lambda c: model
+    try:
+        step = make_train_step(cfg)
+        s1, m1 = jax.jit(step)(state, batch)
+        mesh = make_mesh(n_data=8)
+        bsh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        bs = jax.tree.map(lambda x: jax.device_put(x, bsh), batch)
+        sr = jax.tree.map(
+            lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+            state)
+        s8, m8 = jax.jit(step)(sr, bs)
+    finally:
+        eng.build_student_for = orig
+    assert np.isfinite(float(m1["distil_loss"]))
+    assert abs(float(m1["distil_loss"]) - float(m8["distil_loss"])) < 1e-5
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     s1.params, s8.params)
+    assert max(jax.tree.leaves(d)) < 1e-4
