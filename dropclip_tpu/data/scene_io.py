@@ -39,6 +39,16 @@ def write_scene(path: str, xyz: np.ndarray, rgb: np.ndarray,
                 label: np.ndarray, vis_mask: np.ndarray,
                 obj_feats: np.ndarray, objects_info: Dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # atomic: the ingest CLIs resume by skipping existing files, so a
+    # crash mid-write must not leave a truncated h5 that is then skipped
+    # forever — write to a tmp name and rename into place
+    tmp = path + ".tmp"
+    _write_scene_to(tmp, xyz, rgb, label, vis_mask, obj_feats, objects_info)
+    os.replace(tmp, path)
+
+
+def _write_scene_to(path: str, xyz, rgb, label, vis_mask, obj_feats,
+                    objects_info) -> None:
     with h5py.File(path, "w") as f:
         mv = f.create_group("multiview")
         mv.create_dataset("per_obj", data=np.asarray(obj_feats, np.float32))

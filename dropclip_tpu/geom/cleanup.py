@@ -128,20 +128,47 @@ def _radius_counts(points: jnp.ndarray, mask: jnp.ndarray, radius: float,
     return out[:n]
 
 
+def voxel_pool(xyz: np.ndarray, payloads=None, labels=None,
+               voxel_size: float = 0.0075):
+    """Host voxel downsample: mean xyz + mean of each payload + majority
+    label — the single host-side voxelizer (the REGRAD-ingest analogue of
+    the reference's o3d voxel_down + KD-tree feature counters,
+    utils/projections.py:151-211; the device path is
+    ``voxelize.voxel_downsample``).
+
+    Returns (xyz_v, {name: pooled}, labels_v) — payload dict/labels empty
+    or None pass through as {} / None.
+    """
+    xyz = np.asarray(xyz, np.float32)
+    payloads = payloads or {}
+    grid = np.floor(xyz / voxel_size).astype(np.int64)
+    grid -= grid.min(axis=0)
+    dims = grid.max(axis=0) + 1
+    key = (grid[:, 0] * dims[1] + grid[:, 1]) * dims[2] + grid[:, 2]
+    _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    u = len(counts)
+
+    def mean_of(arr):
+        arr = np.asarray(arr)
+        out = np.zeros((u,) + arr.shape[1:], np.float64)
+        np.add.at(out, inv, arr)
+        return (out / counts.reshape((-1,) + (1,) * (arr.ndim - 1))
+                ).astype(np.float32)
+
+    lab_out = None
+    if labels is not None:
+        lab_ids, lab_inv = np.unique(np.asarray(labels),
+                                     return_inverse=True)
+        votes = np.zeros((u, len(lab_ids)), np.int64)
+        np.add.at(votes, (inv, lab_inv), 1)
+        lab_out = lab_ids[np.argmax(votes, axis=1)]
+    return mean_of(xyz), {k: mean_of(v) for k, v in payloads.items()}, lab_out
+
+
 def pc_voxel_down(pc: np.ndarray, voxel_size: float = 0.0075) -> np.ndarray:
     """Host-side voxel-average downsample of a raw cloud (reference
-    geometry.py:350-352, o3d ``voxel_down_sample``). Raw-scene cleanup
-    runs on host in the reference too; the device path is
-    ``voxelize.voxel_downsample``."""
-    pc = np.asarray(pc, np.float32)
-    grid = np.floor(pc / voxel_size).astype(np.int64)
-    grid -= grid.min(axis=0)
-    key = (grid[:, 0] * (grid[:, 1].max() + 1) + grid[:, 1]) * \
-        (grid[:, 2].max() + 1) + grid[:, 2]
-    _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
-    out = np.zeros((counts.size, 3), np.float64)
-    np.add.at(out, inv, pc)
-    return (out / counts[:, None]).astype(np.float32)
+    geometry.py:350-352, o3d ``voxel_down_sample``)."""
+    return voxel_pool(pc, voxel_size=voxel_size)[0]
 
 
 def pc_outlier_removal(pc: np.ndarray, eps: float = 0.05,

@@ -156,8 +156,12 @@ class ClipExtractor:
                               else seg)
         obj_ids = np.asarray(obj_ids)
         v, k = images.shape[0], len(obj_ids)
-        present = np.stack([np.isin(obj_ids, np.unique(seg_host[i])[1:])
-                            for i in range(v)])
+        # membership excluding the background/table id 0 BY VALUE — the
+        # reference's positional np.unique(seg)[1:] (extractor.py:159)
+        # drops a real object when a view has no background pixels
+        present = np.stack([
+            np.isin(obj_ids, np.setdiff1d(np.unique(seg_host[i]), [0]))
+            for i in range(v)])
         anywhere = present.any(axis=0)
         n_used = int(anywhere.sum())
         kb = min(k, max(bucket, ((n_used + bucket - 1) // bucket) * bucket))

@@ -196,13 +196,15 @@ def run_blender(args) -> None:
                              split=args.split)
     extractor = build_extractor(args)
     os.makedirs(args.out, exist_ok=True)
-    end = args.end if args.end >= 0 else len(dataset.scene_ids) - 1
+    # --end is EXCLUSIVE (half-open [start, end) — same contract as
+    # run_regrad and scripts/RUN_preprocess_parallel.sh's chunking)
+    end = args.end if args.end >= 0 else len(dataset.scene_ids)
     # software pipeline: load + device-stage scene i while scene i-1
     # computes (device_put is async; the host link is the bottleneck)
     pending = None  # (scene_id, kwargs) staged but not yet processed
-    for sid in range(args.start, end + 2):
+    for sid in range(args.start, end + 1):
         nxt = None
-        if sid <= end:
+        if sid < end:
             scene_id = f"{sid:06d}"
             out_path = os.path.join(args.out, args.split, scene_id,
                                     f"{scene_id}.h5py")
@@ -255,35 +257,6 @@ def run_synthetic(args) -> None:
 def _intrinsic_matrix(ci: Dict) -> np.ndarray:
     return np.array([[ci["fx"], 0, ci["cx"]], [0, ci["fy"], ci["cy"]],
                      [0, 0, 1]], np.float32)
-
-
-def _voxel_pool(xyz: np.ndarray, payloads: Dict[str, np.ndarray],
-                labels: np.ndarray, voxel_size: float):
-    """Host voxel downsample: mean of xyz + every payload, majority label
-    (the REGRAD-ingest analogue of the reference's o3d voxel_down +
-    KD-tree matching + per-point feature counters,
-    utils/projections.py:151-211; ~100k points/scene -> numpy)."""
-    grid = np.floor(xyz / voxel_size).astype(np.int64)
-    grid -= grid.min(axis=0)
-    dims = grid.max(axis=0) + 1
-    key = (grid[:, 0] * dims[1] + grid[:, 1]) * dims[2] + grid[:, 2]
-    uniq, inv, counts = np.unique(key, return_inverse=True,
-                                  return_counts=True)
-    u = len(uniq)
-
-    def mean_of(arr):
-        out = np.zeros((u,) + arr.shape[1:], np.float64)
-        np.add.at(out, inv, arr)
-        return (out / counts.reshape((-1,) + (1,) * (arr.ndim - 1))
-                ).astype(np.float32)
-
-    # majority label: votes into a (u, L) table
-    lab_ids, lab_inv = np.unique(labels, return_inverse=True)
-    votes = np.zeros((u, len(lab_ids)), np.int64)
-    np.add.at(votes, (inv, lab_inv), 1)
-    lab_out = lab_ids[np.argmax(votes, axis=1)]
-    return (mean_of(xyz), {k: mean_of(v) for k, v in payloads.items()},
-            lab_out)
 
 
 def process_regrad_scene(scene: Dict, camera_poses: Dict, K: np.ndarray,
@@ -355,6 +328,7 @@ def process_regrad_scene(scene: Dict, camera_poses: Dict, K: np.ndarray,
 
     # per-(view, object) obj-prior features
     obj_ids = np.unique(np.concatenate(labs)).astype(np.int32)
+    assert len(obj_ids) <= max_objects, (len(obj_ids), max_objects)
     extractor.set_mode("cls")
     obj_feats, present = extractor.extract_obj_prior(
         jnp.asarray(np.stack(imgs)),
@@ -366,9 +340,11 @@ def process_regrad_scene(scene: Dict, camera_poses: Dict, K: np.ndarray,
     per_obj = (obj_feats * present[..., None]).sum(axis=0) / denom
     t_teacher = time.time() - t0
 
-    # aggregate + voxel pool
+    # aggregate + voxel pool (the shared host voxelizer)
+    from ..geom.cleanup import voxel_pool
+
     t0 = time.time()
-    xyz_v, pooled, lab_v = _voxel_pool(
+    xyz_v, pooled, lab_v = voxel_pool(
         np.concatenate(pcs),
         {"rgb": np.concatenate(rgbs), "mv": np.concatenate(feats)},
         np.concatenate(labs), voxel_size)
@@ -377,7 +353,9 @@ def process_regrad_scene(scene: Dict, camera_poses: Dict, K: np.ndarray,
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     import h5py
 
-    with h5py.File(out_path, "w") as f:
+    # atomic write (resume skips existing files — see data/scene_io.py)
+    tmp = out_path + ".tmp"
+    with h5py.File(tmp, "w") as f:
         g = f.create_group("pointcloud")
         g.create_dataset("xyz", data=xyz_v.astype(np.float32))
         g.create_dataset("rgb", data=pooled["rgb"].astype(np.float32))
@@ -386,6 +364,7 @@ def process_regrad_scene(scene: Dict, camera_poses: Dict, K: np.ndarray,
         m.create_dataset("patch", data=pooled["mv"].astype(np.float32))
         m.create_dataset("per_obj", data=per_obj.astype(np.float32))
         m.create_dataset("obj_ids", data=obj_ids.astype(np.uint8))
+    os.replace(tmp, out_path)
     return {"points": len(xyz_v), "objects": len(obj_ids),
             "views": len(pcs), "t_clean": t_clean, "t_teacher": t_teacher,
             "t_fuse": t_fuse}
@@ -443,7 +422,8 @@ def main() -> None:
     p.add_argument("--models-root", default=None)
     p.add_argument("--split", default="train")
     p.add_argument("--start", type=int, default=0)
-    p.add_argument("--end", type=int, default=-1)
+    p.add_argument("--end", type=int, default=-1,
+                   help="end scene index, EXCLUSIVE (-1 = all)")
     p.add_argument("--voxel-size", type=float, default=0.02)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--clip-model", default="ViT-L/14@336px")

@@ -8,6 +8,7 @@
 set -euo pipefail
 ROOT=$1; OUT=$2; N=$3; P=${4:-4}; shift; shift; shift; shift || true
 CHUNK=$(( (N + P - 1) / P ))
+mkdir -p "$OUT"
 pids=()
 for ((i=0; i<P; i++)); do
   S=$((i * CHUNK)); E=$(( (i + 1) * CHUNK )); [ "$E" -gt "$N" ] && E=$N
