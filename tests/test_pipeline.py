@@ -1,0 +1,61 @@
+"""GroundingPipeline: single-view serve path (voxelize -> student ->
+text grounding) on a tiny model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dropclip_tpu.core.config import CfgNode
+from dropclip_tpu.pipeline import GroundingPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    from dropclip_tpu.distill.engine import build_student_for, build_topology
+    from dropclip_tpu.similarity import ClipSimilarity
+    from dropclip_tpu.teachers.clip import build_clip
+
+    cfg = CfgNode(dict(arch_3d="tiny", feat_dim=16, voxel_capacity=128,
+                       voxel_size=0.05, use_color=True,
+                       sparse_backend="bricks", brick_shape=[4, 4, 2],
+                       sim_method="paired", sim_norm_thresh=0.6))
+    model = build_student_for(cfg)
+    coords = jnp.zeros((1, 128, 3), jnp.int32)
+    mask = jnp.zeros((1, 128), bool).at[:, :16].set(True)
+    feats = jnp.zeros((1, 128, 6), jnp.float32)
+    topo = build_topology(cfg, coords, mask)
+    variables = model.init(jax.random.PRNGKey(0), topo, feats, train=False)
+
+    clip = build_clip("tiny-test")
+    toks = jnp.zeros((1, clip.context_length), jnp.int32)
+    px = jnp.zeros((1, clip.image_resolution, clip.image_resolution, 3))
+    cvars = jax.jit(lambda p, t: clip.init(jax.random.PRNGKey(1), p, t)
+                    )(px, toks)
+    sim = ClipSimilarity(clip, cvars, threshold=0.6)
+    return GroundingPipeline(cfg, variables["params"],
+                             variables.get("batch_stats", {}), sim)
+
+
+def test_featurize_shapes(rng, pipe):
+    xyz = rng.randn(80, 3).astype(np.float32) * 0.3
+    feats, vmask, vox = pipe.featurize(xyz, rng.rand(80, 3))
+    assert feats.shape == (128, 16)
+    assert 10 < vmask.sum() < 128
+    # padded voxels carry zero features
+    assert float(jnp.abs(feats[~vmask]).max()) == 0.0
+
+
+def test_ground_end_to_end(rng, pipe):
+    xyz = rng.randn(300, 3).astype(np.float32) * 0.3
+    masks, sims = pipe.ground(xyz, rng.rand(300, 3),
+                              ["the red mug", "a bowl"])
+    assert masks.shape == (2, 300) and masks.dtype == bool
+    assert sims.shape[0] == 2
+    # voxel-level output too
+    vmasks, _ = pipe.ground(xyz, None, ["thing"], per_point=False)
+    assert vmasks.shape == (1, 128)
+    # prompt cache reuse does not change results
+    masks2, _ = pipe.ground(xyz, rng.rand(300, 3) * 0, ["the red mug"])
+    assert masks2.shape == (1, 300)
