@@ -58,17 +58,23 @@ class GroundingPipeline:
     @classmethod
     def from_checkpoint(cls, config_path: str, ckpt_dir: str,
                         clip_checkpoint: Optional[str] = None,
-                        ckpt_name: str = "best_sim_loss_model"
+                        ckpt_name: str = "best_sim_loss_model",
+                        overrides: Optional[Sequence[str]] = None
                         ) -> "GroundingPipeline":
         """Build from a training config + orbax checkpoint dir (the
         layout train_distil writes; reference resume semantics
-        tools/train_distil.py:195-216)."""
+        tools/train_distil.py:195-216). ``overrides``: the same
+        "key value ..." list as the CLIs' --opts — must reproduce any
+        shape-affecting options the training run used (feat_dim,
+        voxel_capacity, arch_3d, ...)."""
         from .core.checkpoint import restore_checkpoint
-        from .core.config import load_cfg_from_cfg_file
+        from .core.config import load_cfg_from_cfg_file, merge_cfg_from_list
         from .distill.train_state import create_train_state, make_optimizer
         from .tools.train_distil import make_clip_sim
 
         cfg = load_cfg_from_cfg_file(config_path)
+        if overrides:
+            cfg = merge_cfg_from_list(cfg, list(overrides))
         if clip_checkpoint:
             cfg.clip_checkpoint = clip_checkpoint
         clip_sim = make_clip_sim(cfg)
