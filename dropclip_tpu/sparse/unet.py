@@ -256,6 +256,7 @@ def build_student(cfg: Any) -> MinkUNet:
         block=block,
         layers=layers,
         planes=planes,
+        init_dim=int(cfg.init_dim or 32),
         dropout_rate=float(cfg.dropout_rate or 0.0),
         use_cls_head=bool(cfg.use_cls_head),
         n_classes=int(cfg.n_classes or 0),

@@ -215,6 +215,7 @@ def build_student_bricks(cfg: Any) -> MinkUNetBricks:
     return MinkUNetBricks(
         out_channels=int(cfg.feat_dim or 768),
         block=block, layers=layers, planes=planes,
+        init_dim=int(cfg.init_dim or 32),
         dropout_rate=float(cfg.dropout_rate or 0.0),
         use_cls_head=bool(cfg.use_cls_head),
         n_classes=int(cfg.n_classes or 0),
