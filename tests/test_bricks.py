@@ -193,3 +193,23 @@ def test_anisotropic_scatter_gather_and_halo(rng, bshape):
     m = np.asarray(mask) & (rows < 256)
     want = np.asarray(coords)[m] // np.array(bshape)
     assert np.array_equal(bcoords[rows[m]], want)
+
+
+def test_capacity_overflow_drops_gracefully(rng):
+    """Caps below the occupied-brick count (the autotune slack's failure
+    mode) must not crash: overflowed voxels map to the dump row and read
+    back zeros; surviving voxels round-trip exactly."""
+    cap_m = 512
+    coords, mask = make_coords(rng, 400, cap_m)
+    bt = build_brick_topology(coords, mask, num_levels=2,
+                              brick_capacities=(8, 8))  # far too small
+    feats = jnp.asarray(rng.randn(cap_m, 4).astype(np.float32)
+                        * np.asarray(mask)[:, None])
+    dense = scatter_points(feats, bt.point_row, bt.point_within, 8)
+    back = np.asarray(gather_points(dense, bt.point_row, bt.point_within))
+    rows = np.asarray(bt.point_row)
+    kept = np.asarray(mask) & (rows < 8)
+    dropped = np.asarray(mask) & (rows >= 8)
+    assert dropped.any() and kept.any()
+    assert np.allclose(back[kept], np.asarray(feats)[kept])
+    assert np.abs(back[dropped]).max() == 0.0
