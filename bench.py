@@ -1,6 +1,12 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Two modes (BENCH_METRIC env):
+With BENCH_METRIC unset, ALL modes below run and one combined JSON line
+is emitted (lead metric = fused scenes/sec, plus infer p50, train
+throughput, and the synthetic e2e val mIoU/Pr@k — the three BASELINE.md
+headline metrics from one invocation). BENCH_METRIC selects a single
+mode: ``fusion`` | ``infer`` | ``train`` | ``metrics``.
+
+Modes:
 
 - ``fusion`` (default — the BASELINE.json headline, ">10x fused
   scenes/sec vs the CUDA+MinkowskiEngine reference"): the full offline
@@ -17,8 +23,17 @@ Two modes (BENCH_METRIC env):
   on-device; also prints the p50 per-scene latency. Estimated reference:
   40 scenes/sec (MinkowskiEngine on a modern GPU).
 
-The reference publishes no numbers (BASELINE.md) — estimates above are
-documented assumptions; update when measured baselines land.
+- ``train``: full distillation train-step throughput at recipe shapes
+  (batch 8, MinkUNet14D, bf16, autotuned brick capacities).
+
+- ``metrics``: the synthetic end-to-end train->validate loop — val
+  mIoU / Pr@k plus the fusion upper bound (BASELINE.md's third headline
+  metric; a loop-correctness number until real data/checkpoints exist).
+
+The reference publishes no numbers (BASELINE.md). The fusion denominator
+is derived bottom-up (FLOP/bandwidth arithmetic vs named GPUs) in
+BASELINE_DERIVATION.md; the infer denominator remains a documented
+estimate.
 """
 
 from __future__ import annotations
@@ -33,13 +48,15 @@ from dropclip_tpu.core.platform import honor_jax_platforms_env
 
 honor_jax_platforms_env()
 
-# fusion: reference ingest ~33 s/scene on one modern GPU (800+ crops/scene
-# through PIL preprocessing + batch-12 fp16 ViT-L forwards ~13-20 s, o3d
-# CPU aggregation over 73 views ~10-20 s; reference tools/preprocess_data
-# runs chunked across processes because of exactly this cost). The
-# BASELINE.json ">10x" target is against a v5e-8 slice; scenes are
-# independent, so 8-chip ingest multiplies the single-chip number here.
-EST_BASELINE = {"fusion": 0.03, "infer": 40.0}
+# fusion: derived bottom-up in BASELINE_DERIVATION.md — the reference
+# ingest's sequential protocol costs ~20-35 s/scene on the 3090-class
+# hardware it targets (580-880 ViT-L crop forwards = 260-400 TFLOP +
+# 13-30 s single-threaded CPU aggregation/prompting/IO); 0.04 scenes/sec
+# is the midpoint. The BASELINE.json ">10x" target is against a v5e-8
+# slice; scenes are independent, so 8-chip ingest multiplies the
+# single-chip number here. See BASELINE_DERIVATION.md for the
+# saturated-throughput comparisons (8 loader processes per GPU).
+EST_BASELINE = {"fusion": 0.04, "infer": 40.0}
 
 
 def main_infer():
@@ -170,6 +187,7 @@ def main_infer():
         "value": round(scenes_per_sec, 2),
         "unit": "scenes/sec",
         "vs_baseline": round(scenes_per_sec / EST_BASELINE["infer"], 3),
+        "p50_ms": round(1e3 * p50 / b, 2),
     }
 
 
@@ -210,6 +228,10 @@ def main_fusion():
 
     staged = [stage_scene(s["images"], s["depths"], s["segs"], s["poses"],
                           s["K"]) for s in scenes[:1]]
+    from concurrent.futures import ThreadPoolExecutor
+
+    writer = ThreadPoolExecutor(1)  # h5 writes overlap the next scene's
+    # compute, as run_blender's production pipeline does
     times = []
     for i, s in enumerate(scenes):
         t0 = time.perf_counter()
@@ -222,8 +244,10 @@ def main_fusion():
             poses=s["poses"], K=s["K"], obj_info=s["objects_info"],
             extractor=extractor, out_path=f"/tmp/bench_fusion/{i:04d}.h5py",
             voxel_size=0.01 if smoke else 0.005,
-            cloud_capacity=4096 if smoke else 131072, staged=staged[i])
+            cloud_capacity=4096 if smoke else 131072, staged=staged[i],
+            writer=writer)
         times.append(time.perf_counter() - t0)
+    writer.shutdown(wait=True)
     steady = times[1:] if len(times) > 1 else times  # drop compile scene
     scenes_per_sec = 1.0 / float(np.median(steady))
     return {
@@ -306,11 +330,197 @@ def main_train():
     # is a generous single-GPU MinkowskiEngine estimate
 
 
+def main_metrics():
+    """Synthetic end-to-end train->validate loop: val mIoU / Pr@k.
+
+    Per-object fused targets are the text embeddings of each object's
+    class query under the SAME (tiny, random-weight) text encoder the
+    grounding eval uses — so the fusion upper bound is ~perfect and the
+    student's score measures the whole train->eval loop (SURVEY §6's
+    third BASELINE metric). A loop-correctness number, not reference
+    parity (that needs real MV-TOD data + checkpoints)."""
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+
+    from dropclip_tpu.core.config import CfgNode
+    from dropclip_tpu.data import build_dataset_for
+    from dropclip_tpu.data.scene_io import write_scene
+    from dropclip_tpu.data.synthetic import make_raw_scene
+    from dropclip_tpu.distill.engine import (DistilBatch, build_student_for,
+                                             build_topology, make_eval_step,
+                                             make_train_step)
+    from dropclip_tpu.distill.evaluate import validate_grounding
+    from dropclip_tpu.distill.train_state import (create_train_state,
+                                                  make_optimizer)
+    from dropclip_tpu.similarity import ClipSimilarity
+    from dropclip_tpu.teachers.clip import CLIP
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    dim = 32
+    model_clip = CLIP(embed_dim=dim, image_resolution=32, vision_layers=1,
+                      vision_width=32, vision_patch_size=16, vision_heads=2,
+                      context_length=77, vocab_size=49408,
+                      transformer_width=32, transformer_heads=2,
+                      transformer_layers=1)
+    variables = jax.jit(
+        lambda p, t: model_clip.init(jax.random.PRNGKey(0), p, t))(
+            jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 77), jnp.int32))
+    clip_sim = ClipSimilarity(model_clip, variables, method="paired",
+                              threshold=0.6)
+
+    root = "/tmp/bench_metrics_ds"
+    shutil.rmtree(root, ignore_errors=True)
+    rng = np.random.default_rng(0)
+    names = ["mug", "bowl", "can", "box", "bottle", "plate"]
+    n_objects = 4
+    n_train, n_test = (2, 1) if smoke else (8, 4)
+    for split, ns in (("train", n_train), ("test", n_test)):
+        for s in range(ns):
+            raw = make_raw_scene(rng, n_objects=n_objects,
+                                 n_points_per_obj=120, n_views=4)
+            info = raw["objects_info"]
+            order = rng.permutation(len(names))  # distinct classes per
+            # scene: "cls" queries must be unambiguous for grounding
+            for k in range(1, n_objects + 1):
+                info[k]["cls_name"] = names[int(order[k - 1])]
+            texts = ["table"] + [info[k]["cls_name"]
+                                 for k in range(1, n_objects + 1)]
+            feats = np.asarray(clip_sim.encode_text(texts), np.float32)
+            vis = np.ones((4, len(raw["points"])), bool)
+            sid = f"{split}_{s:04d}"
+            write_scene(os.path.join(root, split, sid, f"{sid}.h5py"),
+                        xyz=raw["points"], rgb=raw["colors"],
+                        label=raw["labels"], vis_mask=vis, obj_feats=feats,
+                        objects_info=info)
+
+    cfg = CfgNode(dict(
+        dataset="DistilBlender", root_dir=root, use_full_pc=True,
+        use_color=True, voxel_size=0.02, voxel_capacity=1024,
+        eval_scenario="cls", sim_method="paired", sim_norm_thresh=0.6, evaluate=True,
+        sim_negatives="scene", manual_seed=42,
+        arch_3d="MinkUNet14D", feat_dim=dim, loss_type="cosine",
+        planes=[8, 8, 16, 16, 16, 16, 8, 8], layers=[1] * 8, init_dim=8,
+        base_lr=1e-2, min_lr=1e-3, epochs=8 if smoke else 60,
+        weight_decay=1e-5, max_norm=5.0, remat=False,
+        brick_shape=[4, 4, 2]))
+
+    train_ds, val_ds, collate = build_dataset_for(cfg)
+    bsz = 2 if smoke else 4
+
+    from dropclip_tpu.sparse.bricks import autotune_brick_capacities
+    sample = collate([train_ds[i % len(train_ds)] for i in range(8)])
+    cfg.brick_capacities = list(autotune_brick_capacities(
+        np.asarray(sample["coords"]), np.asarray(sample["mask"]), slack=1.5,
+        brick_shape=(4, 4, 2)))
+
+    def to_batch(b):
+        z = np.zeros_like(b["labels"])
+        return DistilBatch(
+            coords=jnp.asarray(b["coords"]), mask=jnp.asarray(b["mask"]),
+            in_feats=jnp.asarray(b["in_feats"]),
+            targets=jnp.asarray(b["targets"]),
+            labels=jnp.asarray(b["labels"]).astype(jnp.int32),
+            labels_cls=jnp.asarray(z).astype(jnp.int32))
+
+    def batches_of(ds, shuffle_rng=None):
+        idx = np.arange(len(ds))
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(idx)
+        idx = idx[: (len(idx) // bsz) * bsz] if len(idx) >= bsz else idx
+        out = []
+        for i in range(0, len(idx), bsz):
+            chunk = [ds[int(j)] for j in idx[i:i + bsz]]
+            while len(chunk) < bsz:
+                chunk.append(chunk[-1])
+            out.append(collate(chunk))
+        return out
+
+    model = build_student_for(cfg)
+    ex = to_batch(batches_of(train_ds)[0])
+    topo0 = build_topology(cfg, ex.coords, ex.mask)
+    tx = make_optimizer(cfg, iters_per_epoch=max(len(train_ds) // bsz, 1))
+    state = create_train_state(model, topo0, ex.in_feats, tx)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    srng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(0)
+    for epoch in range(int(cfg.epochs)):
+        for b in batches_of(train_ds, srng):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, to_batch(b), sub)
+        if epoch % 10 == 0:
+            print(f"# metrics e2e: epoch {epoch} "
+                  f"distil_loss {float(metrics['distil_loss']):.4f}",
+                  flush=True)
+
+    val_batches = batches_of(val_ds)
+
+    def student_forward(b):
+        out, m = eval_step(state, to_batch(b))
+        return out, m["distil_loss"]
+
+    def upper_forward(b):
+        return jnp.asarray(b["targets"]), 0.0
+
+    res = validate_grounding(val_batches, student_forward, clip_sim, cfg)
+    ub = validate_grounding(val_batches, upper_forward, clip_sim, cfg)
+    print(f"# metrics e2e: student {res} | upper-bound {ub}", flush=True)
+    return {
+        "metric": "val_miou", "value": round(res["mIoU"], 2), "unit": "%",
+        # baseline for this synthetic loop = the fusion upper bound
+        "vs_baseline": round(res["mIoU"] / max(ub["mIoU"], 1e-9), 3),
+        "val_pr25": round(res["Pr@25"], 2), "val_pr50": round(res["Pr@50"], 2),
+        "val_pr75": round(res["Pr@75"], 2),
+        "upper_bound_miou": round(ub["mIoU"], 2),
+    }
+
+
 def main():
-    mode = os.environ.get("BENCH_METRIC", "fusion")
-    result = {"fusion": main_fusion, "infer": main_infer,
-              "train": main_train}[mode]()
-    print(json.dumps(result))
+    """One JSON line. BENCH_METRIC selects a single mode; unset runs ALL
+    modes and emits the combined headline (fusion is the lead metric —
+    BASELINE.json's ">10x fused scenes/sec")."""
+    modes = {"fusion": main_fusion, "infer": main_infer,
+             "train": main_train, "metrics": main_metrics}
+    mode = os.environ.get("BENCH_METRIC")
+    if mode:
+        print(json.dumps(modes[mode]()))
+        return
+
+    results = {}
+    extra_keys = {
+        "fusion": {"fused_scenes_per_sec": "value",
+                   "vs_baseline_fusion": "vs_baseline"},
+        "infer": {"infer_scenes_per_sec": "value", "infer_p50_ms": "p50_ms",
+                  "vs_baseline_infer": "vs_baseline"},
+        "train": {"train_scenes_per_sec": "value",
+                  "vs_baseline_train": "vs_baseline"},
+        "metrics": {"val_miou": "value", "val_pr50": "val_pr50",
+                    "upper_bound_miou": "upper_bound_miou"},
+    }
+
+    def combined_line():
+        # driver-compat lead metric (fusion — the BASELINE.json headline)
+        lead = results.get("fusion") or next(iter(results.values()))
+        out = {"metric": "fused_scenes_per_sec", "value": lead["value"],
+               "unit": "scenes/sec", "vs_baseline": lead["vs_baseline"]}
+        for mode, keys in extra_keys.items():
+            if mode in results:
+                for k, src in keys.items():
+                    out[k] = results[mode][src]
+        return json.dumps(out)
+
+    for name, fn in modes.items():
+        t0 = time.perf_counter()
+        results[name] = fn()
+        print(f"# bench mode '{name}' done in "
+              f"{time.perf_counter() - t0:.0f}s: {results[name]}", flush=True)
+        # re-print the combined line after EVERY mode: if the driver's
+        # budget kills a later mode, the last printed JSON line still
+        # carries everything that completed (fusion runs first)
+        print(combined_line(), flush=True)
 
 
 if __name__ == "__main__":

@@ -17,3 +17,43 @@ def honor_jax_platforms_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def force_cpu_devices(n: int) -> None:
+    """Force the CPU platform with at least ``n`` virtual devices.
+
+    For virtual-mesh correctness checks (``dryrun_multichip``): those must
+    never touch the TPU — the check is CPU-virtual by definition, real
+    multi-chip hardware is not reachable from here, and merely probing the
+    tunneled TPU can fail outright (e.g. a libtpu client/terminal version
+    skew aborts at the first ``device_put``). Safe to call even after
+    another backend was initialized in-process: backends are cleared and
+    re-created on CPU.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        # config knob beats XLA_FLAGS parse-timing issues where available
+        if jax.config.jax_num_cpu_devices < n:
+            jax.config.update("jax_num_cpu_devices", n)
+    except (AttributeError, RuntimeError):
+        pass
+    needs_reset = False
+    try:
+        needs_reset = (jax.default_backend() != "cpu"
+                       or jax.device_count() < n)
+    except Exception:
+        needs_reset = True
+    if needs_reset:
+        jax.clear_caches()
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert jax.device_count() >= n, (jax.device_count(), n)

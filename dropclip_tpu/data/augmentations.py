@@ -166,7 +166,11 @@ class ElasticDistortion:
         for _ in range(2):
             for b in blur:
                 noise = scipy.ndimage.convolve(noise, b, mode="constant", cval=0)
-        ax = [np.linspace(lo, lo + granularity * (d - 2), d)
+        # grid spans [cmin - g, cmin + g*(d-2)] with d samples — i.e. the
+        # upper bound is g*(d-1) above lo (reference :258-262; round-2
+        # reference-executing parity caught an off-by-one-granularity
+        # upper bound here)
+        ax = [np.linspace(lo, lo + granularity * (d - 1), d)
               for lo, d in zip(cmin - granularity, dim)]
         interp = scipy.interpolate.RegularGridInterpolator(
             ax, noise, bounds_error=False, fill_value=0)

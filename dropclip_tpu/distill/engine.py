@@ -142,9 +142,20 @@ def make_train_step(cfg):
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_bs)
         metrics["grad_norm"] = optax_global_norm(grads)
+        metrics["dropped_voxels"] = topology_dropped(topo)
         return new_state, metrics
 
     return train_step
+
+
+def topology_dropped(topo) -> jnp.ndarray:
+    """Scalar count of units the topology silently truncated (capacity
+    overflow / out-of-extent — sparse/bricks.py ``BrickTopology.dropped``).
+    0 for backends that don't truncate (gather)."""
+    d = getattr(topo, "dropped", None)
+    if d is None:
+        return jnp.zeros((), jnp.int32)
+    return jnp.sum(d)
 
 
 def make_eval_step(cfg):
@@ -157,7 +168,8 @@ def make_eval_step(cfg):
         if cfg.use_cls_head:
             out = out[0]
         dloss = cosine_distil_loss(out, batch.targets, batch.mask)
-        return out, {"distil_loss": dloss}
+        return out, {"distil_loss": dloss,
+                     "dropped_voxels": topology_dropped(topo)}
 
     return eval_step
 

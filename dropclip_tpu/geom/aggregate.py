@@ -68,10 +68,12 @@ def aggregate_views(
     num_labels: int,
     depth_trunc: float = 25.0,
     bits: int = 10,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray]:
     """Full aggregation: unproject all views + voxel-downsample.
 
-    Returns (xyz (cap, 3), rgb (cap, 3), labels (cap,), mask (cap,)).
+    Returns (xyz (cap, 3), rgb (cap, 3), labels (cap,), mask (cap,),
+    dropped () int32 points lost to extent/capacity truncation).
     Colors/positions are voxel means, labels majority-per-voxel
     (geometry.py:186-201).
     """

@@ -169,7 +169,9 @@ def voxel_downsample(
     per statistic; the label vote is one scatter-add into
     (capacity x num_label_classes) bins + argmax.
 
-    Returns (xyz_v (V,3), colors_v (V,3), labels_v (V,), mask (V,)).
+    Returns (xyz_v (V,3), colors_v (V,3), labels_v (V,), mask (V,),
+    dropped () int32 — valid input points lost to grid extent or
+    capacity overflow; non-zero means the scene was truncated).
     """
     n = xyz.shape[0]
     if valid is None:
@@ -202,6 +204,10 @@ def voxel_downsample(
     row = v_table[vcell]  # (N,) voxel row per point, capacity = dropped
     n_vox = jnp.minimum(v_rank[-1] + 1, capacity)
     vmask = jnp.arange(capacity) < n_vox
+    # valid points not represented (out-of-extent or capacity overflow)
+    # — surfaced so a truncated scene is visible, not a silent accuracy
+    # bug (VERDICT r1 item 6)
+    dropped = jnp.sum((valid & (row >= capacity)).astype(jnp.int32))
 
     # ONE wide-row scatter-add for all per-voxel statistics — count, xyz
     # sum, color sum, and the one-hot label vote share the same target row,
@@ -244,4 +250,4 @@ def voxel_downsample(
     return (jnp.where(vmask[:, None], xyz_v, 0.0),
             jnp.where(vmask[:, None], col_v, 0.0),
             jnp.where(vmask, labels_v, 0),
-            vmask)
+            vmask, dropped)

@@ -45,15 +45,17 @@ class GroundingPipeline:
         if brick_capacities:
             cfg.brick_capacities = list(brick_capacities)
 
-        from .distill.engine import build_topology
+        from .distill.engine import build_topology, topology_dropped
 
         @jax.jit
         def _forward(variables, coords, mask, feats):
             topo = build_topology(cfg, coords, mask)
             out = self.model.apply(variables, topo, feats, train=False)
-            return out[0] if isinstance(out, tuple) else out
+            out = out[0] if isinstance(out, tuple) else out
+            return out, topology_dropped(topo)
 
         self._forward = _forward
+        self.last_dropped = 0  # voxels truncated by the last featurize()
 
     @classmethod
     def from_checkpoint(cls, config_path: str, ckpt_dir: str,
@@ -116,10 +118,19 @@ class GroundingPipeline:
             in_feats = np.concatenate([pos, col], axis=-1)
         else:
             in_feats = pos
-        out = self._forward(
+        out, dropped = self._forward(
             self.variables, jnp.asarray(vox.coords[None]),
             jnp.asarray(vox.mask[None]), jnp.asarray(in_feats[None],
                                                      jnp.float32))
+        self.last_dropped = int(dropped)
+        if self.last_dropped:
+            import logging
+
+            logging.getLogger("dropclip").warning(
+                "GroundingPipeline: %d voxels dropped (brick capacity / "
+                "grid extent overflow) — grounding masks will miss that "
+                "geometry; raise brick_capacities or grid_bits",
+                self.last_dropped)
         return out[0], vox.mask, vox
 
     def ground(self, xyz: np.ndarray, rgb: Optional[np.ndarray],

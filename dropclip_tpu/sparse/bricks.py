@@ -72,6 +72,12 @@ class BrickTopology(NamedTuple):
     group_maps: Tuple[jnp.ndarray, ...]   # (Bm_{l+1}, 8) fine-brick rows
     parent_maps: Tuple[jnp.ndarray, ...]  # (Bm_l,) coarse-brick row per fine
     octants: Tuple[jnp.ndarray, ...]      # (Bm_l, 3) fine brick & 1
+    dropped: Optional[jnp.ndarray] = None  # (L,) int32 — units
+    # silently truncated per level: [0] = valid VOXELS outside the grid
+    # extent or in capacity-overflowed bricks; [l>0] = valid fine BRICKS
+    # whose coarse parent overflowed. Non-zero means the scene lost
+    # geometry: surface it (trainer metrics, pipeline logs) instead of
+    # letting a quietly-truncated scene become a silent accuracy bug.
 
 
 _NBR_OFFSETS = np.array(
@@ -85,22 +91,27 @@ class _GridLevel(NamedTuple):
     TPU sorts/searchsorted are slow (190 ms for (8, 8192) int32!), so
     brick identification uses a DENSE boolean grid over the (small,
     bounded) brick-coordinate box instead: scatter occupancy, cumsum for
-    rank, O(1) gather lookups everywhere.
+    rank, O(1) gather lookups everywhere. The grid is ANISOTROPIC
+    (gx, gy, gz): with a non-cubic brick shape the per-axis brick count
+    scales so the VOXEL extent stays the same on every axis (a cubic
+    grid at (4, 4, 2) bricks would silently halve the representable z
+    range — ADVICE r1).
     """
 
     level: BrickLevel
-    row_table: jnp.ndarray  # (g^3 + 1,) cell -> brick row (guard -> cap)
-    g: int                  # grid edge (bricks per axis)
-    bias: int
+    row_table: jnp.ndarray  # (gx*gy*gz + 1,) cell -> brick row (guard -> cap)
+    gdims: Tuple[int, int, int]  # grid dims (bricks per axis)
+    bias: Tuple[int, int, int]
 
 
-def _grid_level(cells_src: jnp.ndarray, capacity: int, g: int,
-                bias: int,
+def _grid_level(cells_src: jnp.ndarray, capacity: int,
+                gdims: Tuple[int, int, int], bias: Tuple[int, int, int],
                 bshape: Tuple[int, int, int] = DEFAULT_BRICK_SHAPE
                 ) -> _GridLevel:
-    """cells_src: (N,) dense cell ids of occupied bricks (guard g^3 for
-    invalid) -> brick level (occ filled later)."""
-    n_cells = g ** 3
+    """cells_src: (N,) dense cell ids of occupied bricks (guard gx*gy*gz
+    for invalid) -> brick level (occ filled later)."""
+    gx, gy, gz = gdims
+    n_cells = gx * gy * gz
     occ_cell = jnp.zeros((n_cells + 1,), bool).at[cells_src].set(True)[:-1]
     rank = jnp.cumsum(occ_cell.astype(jnp.int32)) - 1
     n = rank[-1] + 1
@@ -112,30 +123,36 @@ def _grid_level(cells_src: jnp.ndarray, capacity: int, g: int,
     brick_cell = jnp.zeros((capacity + 1,), jnp.int32).at[
         row_table[:-1]].set(cell_ids, mode="drop")[:capacity]
     bmask = jnp.arange(capacity) < jnp.minimum(n, capacity)
-    cx = brick_cell // (g * g)
-    cy = (brick_cell // g) % g
-    cz = brick_cell % g
-    coords = jnp.stack([cx, cy, cz], -1) - bias
+    cx = brick_cell // (gy * gz)
+    cy = (brick_cell // gz) % gy
+    cz = brick_cell % gz
+    coords = jnp.stack([cx, cy, cz], -1) - jnp.asarray(bias, jnp.int32)
     coords = jnp.where(bmask[:, None], coords, 0)
 
     # 27-neighborhood brick rows
-    nbc = coords[:, None, :] + bias + jnp.asarray(_NBR_OFFSETS)[None, :, :]
-    ok = jnp.all((nbc >= 0) & (nbc < g), -1) & bmask[:, None]
-    ncell = (nbc[..., 0] * g + nbc[..., 1]) * g + nbc[..., 2]
+    nbc = (coords[:, None, :] + jnp.asarray(bias, jnp.int32)
+           + jnp.asarray(_NBR_OFFSETS)[None, :, :])
+    ok = (jnp.all(nbc >= 0, -1)
+          & jnp.all(nbc < jnp.asarray(gdims, jnp.int32), -1)
+          & bmask[:, None])
+    ncell = (nbc[..., 0] * gy + nbc[..., 1]) * gz + nbc[..., 2]
     nbr = row_table[jnp.where(ok, ncell, n_cells)]
 
     lvl = BrickLevel(coords=coords, keys=brick_cell, mask=bmask,
                      occ=jnp.zeros((capacity,) + tuple(bshape), bool),
                      nbr=nbr)
-    return _GridLevel(level=lvl, row_table=row_table, g=g, bias=bias)
+    return _GridLevel(level=lvl, row_table=row_table, gdims=gdims, bias=bias)
 
 
-def _cells_of(bcoords: jnp.ndarray, valid: jnp.ndarray, g: int,
-              bias: int) -> jnp.ndarray:
-    bc = bcoords + bias
-    ok = valid & jnp.all((bc >= 0) & (bc < g), -1)
-    cell = (bc[..., 0] * g + bc[..., 1]) * g + bc[..., 2]
-    return jnp.where(ok, cell, g ** 3)
+def _cells_of(bcoords: jnp.ndarray, valid: jnp.ndarray,
+              gdims: Tuple[int, int, int],
+              bias: Tuple[int, int, int]) -> jnp.ndarray:
+    gx, gy, gz = gdims
+    bc = bcoords + jnp.asarray(bias, jnp.int32)
+    ok = (valid & jnp.all(bc >= 0, -1)
+          & jnp.all(bc < jnp.asarray(gdims, jnp.int32), -1))
+    cell = (bc[..., 0] * gy + bc[..., 1]) * gz + bc[..., 2]
+    return jnp.where(ok, cell, gx * gy * gz)
 
 
 @partial(jax.jit, static_argnames=("num_levels", "grid_bits", "capacities",
@@ -144,26 +161,33 @@ def _build_single(coords: jnp.ndarray, mask: jnp.ndarray, num_levels: int,
                   grid_bits: int, capacities: Tuple[int, ...],
                   bshape: Tuple[int, int, int] = DEFAULT_BRICK_SHAPE
                   ) -> BrickTopology:
-    g0 = 1 << grid_bits
     sx, sy, sz = _shifts(bshape)
     bx, by, bz = bshape
     bv = bx * by * bz
+    # Per-axis grid dims: the VOXEL extent is 2^(grid_bits+2) on every
+    # axis regardless of brick shape — an axis with smaller bricks gets
+    # proportionally more of them (ADVICE r1: a cubic grid at (4, 4, 2)
+    # silently halved the representable z range).
+    g0dims = tuple(((1 << grid_bits) * 4) // bs for bs in bshape)
 
     levels, grids = [], []
-    group_maps, parent_maps, octants = [], [], []
+    group_maps, parent_maps, octants, dropped = [], [], [], []
     offs8 = jnp.asarray([(i, j, k) for i in (0, 1) for j in (0, 1)
                          for k in (0, 1)], jnp.int32)
 
     for l in range(num_levels):
-        g = max(g0 >> l, 2)
-        bias = g // 2
+        gdims = tuple(max(gd >> l, 2) for gd in g0dims)
+        bias = tuple(gd // 2 for gd in gdims)
         cap = capacities[l]
         if l == 0:
             bcoord = jnp.stack([coords[..., 0] >> sx, coords[..., 1] >> sy,
                                 coords[..., 2] >> sz], axis=-1)
-            cells = _cells_of(bcoord, mask, g, bias)
-            gl = _grid_level(cells, cap, g, bias, bshape)
+            cells = _cells_of(bcoord, mask, gdims, bias)
+            gl = _grid_level(cells, cap, gdims, bias, bshape)
             row0 = gl.row_table[cells]
+            # valid voxels lost to out-of-extent cells (guard row) or
+            # capacity-overflowed bricks
+            dropped.append(jnp.sum((mask & (row0 >= cap)).astype(jnp.int32)))
             w0 = (((coords[:, 0] & (bx - 1)) * by
                    + (coords[:, 1] & (by - 1))) * bz
                   + (coords[:, 2] & (bz - 1)))
@@ -175,14 +199,17 @@ def _build_single(coords: jnp.ndarray, mask: jnp.ndarray, num_levels: int,
         else:
             fine_gl = grids[-1]
             fine = levels[-1]
-            fcells = _cells_of(fine.coords >> 1, fine.mask, g, bias)
-            gl = _grid_level(fcells, cap, g, bias, bshape)
+            fcells = _cells_of(fine.coords >> 1, fine.mask, gdims, bias)
+            gl = _grid_level(fcells, cap, gdims, bias, bshape)
             # parent map + octant per fine brick
-            parent_maps.append(gl.row_table[fcells])
+            pmap = gl.row_table[fcells]
+            parent_maps.append(pmap)
+            dropped.append(
+                jnp.sum((fine.mask & (pmap >= cap)).astype(jnp.int32)))
             octants.append(jnp.where(fine.mask[:, None], fine.coords & 1, 0))
             # group map: coarse brick -> 2x2x2 fine bricks (rows in fine)
             child = gl.level.coords[:, None, :] * 2 + offs8[None, :, :]
-            ccells = _cells_of(child, gl.level.mask[:, None], fine_gl.g,
+            ccells = _cells_of(child, gl.level.mask[:, None], fine_gl.gdims,
                                fine_gl.bias)
             gmap = fine_gl.row_table[ccells]
             group_maps.append(gmap)
@@ -201,7 +228,8 @@ def _build_single(coords: jnp.ndarray, mask: jnp.ndarray, num_levels: int,
     return BrickTopology(levels=tuple(levels), point_row=row0,
                          point_within=w0, group_maps=tuple(group_maps),
                          parent_maps=tuple(parent_maps),
-                         octants=tuple(octants))
+                         octants=tuple(octants),
+                         dropped=jnp.stack(dropped))
 
 
 def build_brick_topology(coords: jnp.ndarray, mask: jnp.ndarray,
@@ -212,10 +240,12 @@ def build_brick_topology(coords: jnp.ndarray, mask: jnp.ndarray,
                          DEFAULT_BRICK_SHAPE) -> BrickTopology:
     """Voxel coords (B, M, 3)/(M, 3) -> brick topology pyramid.
 
-    ``grid_bits``: bricks per axis = 2^grid_bits, i.e. level-0 voxel
-    extent ±(2^grid_bits * 2). Default 5 -> ±64 voxels (tabletop scenes
-    span ~±40 at 5 cm, SURVEY §6); voxels outside are masked off. Raise
-    for larger scenes (dense-grid memory is 8 * 2^(3*grid_bits) bytes).
+    ``grid_bits``: level-0 voxel extent is ±2^(grid_bits+1) on EVERY axis
+    (the brick grid is anisotropic — an axis with smaller bricks gets
+    proportionally more of them). Default 5 -> ±64 voxels (tabletop
+    scenes span ~±40 at 5 cm, SURVEY §6); voxels outside are dropped and
+    COUNTED in ``topology.dropped[0]`` along with capacity overflow.
+    Raise for larger scenes (dense-grid memory ~ 2^(3*grid_bits+6) bits).
 
     Default brick capacities: M//8 at level 0 (>=8 occupied voxels per
     brick on surface-like scenes), halving per level with a floor of 32.
@@ -259,7 +289,7 @@ def autotune_brick_capacities(coords, mask, num_levels: int = 5,
     ``coords`` (B, M, 3) or (M, 3) int voxel coords, ``mask`` matching
     validity. ``slack`` multiplies the observed max before rounding up to
     ``multiple`` (headroom for unseen scenes; topology construction drops
-    overflow bricks gracefully but silently).
+    overflow bricks gracefully and reports them in ``topology.dropped``).
     """
     coords = np.asarray(coords)
     mask = np.asarray(mask)

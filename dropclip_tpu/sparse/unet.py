@@ -233,12 +233,26 @@ UNET_ARCHS: Dict[str, Tuple[str, Tuple[int, ...], Tuple[int, ...]]] = {
     "MinkUNet14D": ("basic", (1,) * 8, (32, 64, 128, 256, 384, 384, 384, 384)),
     "MinkUNet18A": ("basic", (2,) * 8, (32, 64, 128, 256, 128, 128, 96, 96)),
     "MinkUNet18B": ("basic", (2,) * 8, (32, 64, 128, 256, 128, 128, 128, 128)),
+    "MinkUNet18C": ("basic", (2,) * 8, (32, 64, 128, 256, 192, 192, 128, 128)),
     "MinkUNet18D": ("basic", (2,) * 8, (32, 64, 128, 256, 384, 384, 384, 384)),
     "MinkUNet18E": ("basic", (2,) * 8, (96, 192, 384, 768, 384, 192, 96, 96)),
     "MinkUNet34A": ("basic", (2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 64, 64)),
     "MinkUNet34B": ("basic", (2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 64, 32)),
     "MinkUNet34C": ("basic", (2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 96, 96)),
     "MinkUNet50": ("bottleneck", (2, 3, 4, 6, 2, 2, 2, 2), (32, 64, 128, 256, 384, 384, 384, 384)),
+    # MinkUNet101 family. The reference declares bare MinkUNet50/101
+    # classes with PLANES=None (models/distil/minkunet.py:212-219 — not
+    # constructible, and absent from its mink_unet factory :266-289);
+    # the base spec here is upstream MinkowskiNet's (Bottleneck,
+    # LAYERS=(2,3,4,23,2,2,2,2), base PLANES (32,64,128,256,256,128,96,
+    # 96)), and the A-E width variants follow the same progression the
+    # 14/18 families use.
+    "MinkUNet101": ("bottleneck", (2, 3, 4, 23, 2, 2, 2, 2), (32, 64, 128, 256, 256, 128, 96, 96)),
+    "MinkUNet101A": ("bottleneck", (2, 3, 4, 23, 2, 2, 2, 2), (32, 64, 128, 256, 128, 128, 96, 96)),
+    "MinkUNet101B": ("bottleneck", (2, 3, 4, 23, 2, 2, 2, 2), (32, 64, 128, 256, 128, 128, 128, 128)),
+    "MinkUNet101C": ("bottleneck", (2, 3, 4, 23, 2, 2, 2, 2), (32, 64, 128, 256, 192, 192, 128, 128)),
+    "MinkUNet101D": ("bottleneck", (2, 3, 4, 23, 2, 2, 2, 2), (32, 64, 128, 256, 384, 384, 384, 384)),
+    "MinkUNet101E": ("bottleneck", (2, 3, 4, 23, 2, 2, 2, 2), (96, 192, 384, 768, 384, 192, 96, 96)),
     # miniature arch for tests/smoke runs (CPU-compilable in seconds)
     "tiny": ("basic", (1,) * 8, (4, 4, 8, 8, 8, 8, 4, 4)),
 }
@@ -251,6 +265,11 @@ def build_student(cfg: Any) -> MinkUNet:
     if arch not in UNET_ARCHS:
         raise ValueError(f"architecture {arch} not supported")
     block, layers, planes = UNET_ARCHS[arch]
+    # explicit width overrides (tiny CPU dryruns / ablations)
+    if cfg.planes is not None:
+        planes = tuple(int(p) for p in cfg.planes)
+    if cfg.layers is not None:
+        layers = tuple(int(l) for l in cfg.layers)
     return MinkUNet(
         out_channels=int(cfg.feat_dim or 768),
         block=block,

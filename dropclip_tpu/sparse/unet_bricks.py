@@ -212,6 +212,11 @@ def build_student_bricks(cfg: Any) -> MinkUNetBricks:
     if arch not in UNET_ARCHS:
         raise ValueError(f"architecture {arch} not supported")
     block, layers, planes = UNET_ARCHS[arch]
+    # explicit width overrides (tiny CPU dryruns / ablations)
+    if cfg.planes is not None:
+        planes = tuple(int(p) for p in cfg.planes)
+    if cfg.layers is not None:
+        layers = tuple(int(l) for l in cfg.layers)
     return MinkUNetBricks(
         out_channels=int(cfg.feat_dim or 768),
         block=block, layers=layers, planes=planes,

@@ -366,4 +366,6 @@ class ViTExtractor:
         cls_attn = probs[:, head_idxs, 0, 1:].mean(axis=1)  # (B, t-1)
         lo = cls_attn.min(axis=1, keepdims=True)
         hi = cls_attn.max(axis=1, keepdims=True)
-        return (cls_attn - lo) / (hi - lo)
+        # eps: a degenerate view with constant cls-attention must yield
+        # zeros, not NaN (ADVICE r1)
+        return (cls_attn - lo) / jnp.maximum(hi - lo, 1e-12)

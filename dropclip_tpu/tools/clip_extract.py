@@ -18,13 +18,46 @@ import os
 import numpy as np
 
 
+def patchify_image(image: np.ndarray, crop_size: int, tile: int):
+    """Center-crop to ``crop_size`` and split into a (crop/tile)^2 grid of
+    tiles (reference tools/extract_multiview_features.py:191-203 — the
+    legacy hi-res path that runs EACH TILE through CLIP as a full image
+    and uses the per-tile cls embedding as a coarse dense feature map)."""
+    assert crop_size % tile == 0, (crop_size, tile)
+    h, w = image.shape[:2]
+    sx = h // 2 - crop_size // 2
+    sy = w // 2 - crop_size // 2
+    c = image[sx: sx + crop_size, sy: sy + crop_size]
+    g = crop_size // tile
+    tiles = (c.reshape(g, tile, g, tile, 3).swapaxes(1, 2)
+             .reshape(-1, tile, tile, 3))
+    return tiles, c
+
+
+def extract_tiled(ex, image: np.ndarray, crop_size: int, tile: int,
+                  batch_size: int = 64) -> np.ndarray:
+    """(H, W, 3) -> (crop/tile, crop/tile, C) tiled cls-feature map
+    (reference extract_multiview_features.py CLIPFeatures.extract)."""
+    tiles, _ = patchify_image(image, crop_size, tile)
+    ex.set_mode("cls")
+    feats = [np.asarray(ex.extract(tiles[i: i + batch_size]))
+             for i in range(0, len(tiles), batch_size)]
+    g = crop_size // tile
+    return np.concatenate(feats).reshape(g, g, -1)
+
+
 def main() -> None:
     p = argparse.ArgumentParser("dropclip_tpu CLIP feature extraction")
     p.add_argument("--images", required=True, help="glob of image files")
     p.add_argument("--out", required=True)
     p.add_argument("--clip-model", default="ViT-L/14@336px")
     p.add_argument("--clip-checkpoint", default=None)
-    p.add_argument("--mode", choices=["cls", "patch"], default="patch")
+    p.add_argument("--mode", choices=["cls", "patch", "tiled"],
+                   default="patch")
+    p.add_argument("--crop-size", type=int, default=448,
+                   help="tiled mode: center-crop edge")
+    p.add_argument("--tile", type=int, default=32,
+                   help="tiled mode: tile edge (crop-size % tile == 0)")
     p.add_argument("--batch-size", type=int, default=16)
     a = p.parse_args()
 
@@ -37,11 +70,20 @@ def main() -> None:
         clip_model=a.clip_model, clip_checkpoint=a.clip_checkpoint,
         visual_prompt="crop-mask", crop_num_levels=1,
         crop_expansion_ratio=0.15, batch_size=a.batch_size)))
-    ex.set_mode(a.mode)
-
     files = sorted(glob.glob(a.images))
     assert files, f"no images match {a.images}"
     os.makedirs(a.out, exist_ok=True)
+
+    if a.mode == "tiled":
+        for i, f in enumerate(files):
+            img = np.ascontiguousarray(cv2.imread(f)[:, :, ::-1])
+            feat = extract_tiled(ex, img, a.crop_size, a.tile, a.batch_size)
+            name = os.path.splitext(os.path.basename(f))[0]
+            np.save(os.path.join(a.out, f"{name}.npy"), feat)
+            print(f"{i + 1}/{len(files)}")
+        return
+
+    ex.set_mode(a.mode)
     for i in range(0, len(files), a.batch_size):
         chunk = files[i: i + a.batch_size]
         imgs = np.stack([

@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main() -> None:
@@ -67,6 +68,15 @@ def main() -> None:
                "batch_stats": state.batch_stats,
                "opt_state": state.opt_state, "epoch": 0, "best_val": 0.0}
     save_checkpoint(a.out, payload, name=a.name)
+    # audit trail (ADVICE r1): a wrong offset_order loads cleanly and only
+    # shows up as scrambled predictions — record the choice next to the
+    # checkpoint so downstream consumers can check/flip it
+    import json
+
+    with open(os.path.join(a.out, "convert_meta.json"), "w") as f:
+        json.dump({"source": a.torch_ckpt, "arch": cfg.arch_3d or
+                   "MinkUNet14D", "offset_order": a.offset_order}, f,
+                  indent=2)
     n = len(jax.tree.leaves(state.params))
     print(f"converted {a.torch_ckpt} -> {a.out}/{a.name} "
           f"({n} param tensors, offset order {a.offset_order})")

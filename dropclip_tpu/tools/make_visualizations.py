@@ -25,8 +25,9 @@ from ..core.mesh import make_mesh
 from ..data import build_dataset_for
 from ..distill.engine import build_student_for, build_topology, make_eval_step
 from ..distill.train_state import create_train_state, make_optimizer
+from ..similarity import predict_from_embeddings
 from ..viz import apply_pca, label_colors, save_pcd
-from .train_distil import to_batch
+from .train_distil import make_clip_sim, to_batch
 
 
 def main() -> None:
@@ -40,7 +41,9 @@ def main() -> None:
     out_dir = cfg.viz_dir or "./viz"
     max_scenes = int(cfg.max_scenes or 8)
 
-    mesh = make_mesh()
+    # single-device mesh: viz walks scenes one at a time (batch 1 can't
+    # shard over a data axis)
+    mesh = make_mesh(n_data=1)
     cfg.evaluate = True
     _, val_ds, collate = build_dataset_for(cfg)
 
@@ -61,6 +64,8 @@ def main() -> None:
         state = state.replace(params=restored["params"],
                               batch_stats=restored["batch_stats"])
         eval_step = jax.jit(make_eval_step(cfg))
+
+    clip_sim = make_clip_sim(cfg) if cfg.viz_query else None
 
     for i in range(min(max_scenes, len(val_ds))):
         item = val_ds[i]
@@ -87,6 +92,47 @@ def main() -> None:
             feats = np.asarray(out[0])[m]
             save_pcd(os.path.join(out_dir, f"{sid}_student_pca.pcd"), xyz,
                      apply_pca(feats))
+
+            # language-conditioned dumps (file-output counterparts of the
+            # reference's interactive similarity/grasp viewers,
+            # utils/viz.py:426-625): --opts viz_query "the red mug"
+            if cfg.viz_query and clip_sim is not None:
+                import jax.numpy as _jnp
+
+                from ..similarity import NEGATIVE_PROMPT_GENERIC
+                from ..viz import export_grasp_scene, export_similarity_heatmap
+
+                pos = clip_sim.encode_text([str(cfg.viz_query)])[0]
+                negs = clip_sim.encode_text(list(NEGATIVE_PROMPT_GENERIC))
+                _, sims = predict_from_embeddings(
+                    _jnp.asarray(feats), pos, negs,
+                    method=cfg.sim_method or "paired")
+                export_similarity_heatmap(
+                    os.path.join(out_dir, f"{sid}_query_heatmap.pcd"), xyz,
+                    np.asarray(sims),
+                    threshold=float(cfg.sim_norm_thresh or 0.75))
+
+                # ranked grasp scene: synthesize antipodal candidates at
+                # high-similarity points when the dataset carries no grasp
+                # annotations (MV-TOD grasp h5s are dead in the reference
+                # too, blender.py:207)
+                from ..grasp.grasps import SceneGrasps, rank_grasps_by_query
+
+                top = np.argsort(-np.asarray(sims))[:32]
+                poses = np.tile(np.eye(4), (len(top), 1, 1))
+                poses[:, :3, 3] = xyz[top] + np.array([0, 0, 0.08])
+                cand = SceneGrasps(indices=top, poses=poses,
+                                   scores=np.asarray(sims)[top],
+                                   labels=labels[top])
+                order, _ = rank_grasps_by_query(
+                    _jnp.asarray(xyz), _jnp.asarray(feats),
+                    _jnp.ones(len(xyz), bool),
+                    _jnp.asarray(poses[:, :3, 3]),
+                    _jnp.asarray(cand.scores), pos, negs)
+                export_grasp_scene(
+                    os.path.join(out_dir, f"{sid}_query"), xyz,
+                    np.clip(rgb, 0, 1) if rgb is not None else None,
+                    cand, order=np.asarray(order), top_k=10)
         print(f"dumped {sid} -> {out_dir}")
 
 

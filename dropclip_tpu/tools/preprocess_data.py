@@ -89,7 +89,8 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
                   max_objects: int = 32,
                   eval_scenario: str = "open", sim_kernel: str = "max",
                   use_visibility: bool = False, use_similarity: bool = True,
-                  vis_threshold: float = 0.05, staged: Dict = None) -> Dict:
+                  vis_threshold: float = 0.05, staged: Dict = None,
+                  writer=None) -> Dict:
     """One scene end-to-end; returns timing/stat dict.
 
     Every device program runs at STATIC shapes — the cloud stays padded to
@@ -120,10 +121,14 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
     # points, and typical MV-TOD scenes have ~11 objects — the 16 bucket
     # cuts ~40% of the scatter traffic (2 static compile buckets).
     num_labels = 16 if n_real <= 16 else max_objects
-    xyz, rgb, labels, mask = _agg_jit(
+    xyz, rgb, labels, mask, agg_dropped = _agg_jit(
         dev_depths, dev_images, dev_segs, dev_poses, dev_K,
         voxel_size=voxel_size, capacity=cloud_capacity,
         num_labels=num_labels)
+    if int(agg_dropped):
+        print(f"WARNING: {int(agg_dropped)} points truncated during "
+              f"aggregation (cloud_capacity={cloud_capacity} or grid "
+              f"extent too small) -> {out_path}", flush=True)
     keep = np.asarray(mask) & (np.asarray(labels) != 0)  # drop table+pad
     t_agg = time.time() - t0
 
@@ -157,9 +162,16 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
     vis_mask = np.asarray(fused.visibility)[:, sel]
     t_fuse = time.time() - t0
 
-    write_scene(out_path, xyz=np.asarray(xyz)[sel], rgb=np.asarray(rgb)[sel],
-                label=np.asarray(labels)[sel], vis_mask=vis_mask,
-                obj_feats=obj_out, objects_info=obj_info)
+    # arrays are host numpy by here; with a ``writer`` executor the h5
+    # write (tens of MB of fp32 features) overlaps the NEXT scene's
+    # device compute instead of serializing with it
+    wargs = dict(xyz=np.asarray(xyz)[sel], rgb=np.asarray(rgb)[sel],
+                 label=np.asarray(labels)[sel], vis_mask=vis_mask,
+                 obj_feats=obj_out, objects_info=obj_info)
+    if writer is None:
+        write_scene(out_path, **wargs)
+    else:
+        writer.submit(write_scene, out_path, **wargs)
     return {"points": int(sel.sum()), "objects": n_real,
             "nan_objects": int(nan_rows.sum()), "t_aggregate": t_agg,
             "t_teacher": t_clip, "t_fuse": t_fuse}
@@ -199,38 +211,49 @@ def run_blender(args) -> None:
     # --end is EXCLUSIVE (half-open [start, end) — same contract as
     # run_regrad and scripts/RUN_preprocess_parallel.sh's chunking)
     end = args.end if args.end >= 0 else len(dataset.scene_ids)
-    # software pipeline: load + device-stage scene i while scene i-1
-    # computes (device_put is async; the host link is the bottleneck)
-    pending = None  # (scene_id, kwargs) staged but not yet processed
-    for sid in range(args.start, end + 1):
-        nxt = None
-        if sid < end:
-            scene_id = f"{sid:06d}"
-            out_path = os.path.join(args.out, args.split, scene_id,
-                                    f"{scene_id}.h5py")
-            if os.path.isfile(out_path):
-                print(f"skip {scene_id}: exists")
-            elif scene_id in dataset.scene_ids:
-                scene = dataset[sid]
-                segs, _ = BlenderDataset.obtain_seg_info(scene)
-                views = list(scene["views"].values())
-                kw = dict(
-                    images=np.stack([v["rgb"] for v in views]),
-                    depths=np.stack([v["depth"] for v in views]),
-                    segs=np.stack(segs),
-                    poses=np.stack([np.asarray(v["camera"]["world_matrix"],
-                                               np.float32) for v in views]),
-                    K=_intrinsic_matrix(scene["camera_intrinsic"]),
-                    obj_info=scene["objects_info"], out_path=out_path,
-                    voxel_size=args.voxel_size * scene["world_scale"])
-                kw["staged"] = stage_scene(kw["images"], kw["depths"],
-                                           kw["segs"], kw["poses"], kw["K"])
-                nxt = (scene_id, kw)
-        if pending is not None:
-            scene_id, kw = pending
-            stats = process_scene(extractor=extractor, **kw)
-            print(f"{scene_id}: {stats}")
-        pending = nxt
+    # software pipeline, both directions: a loader THREAD decodes + stages
+    # scene i+1 (73x EXR/png decode is seconds of pure host CPU; device_put
+    # is async) and a writer THREAD flushes scene i-1's h5 — both overlap
+    # scene i's device compute instead of serializing with it
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_one(sid: int):
+        scene_id = f"{sid:06d}"
+        out_path = os.path.join(args.out, args.split, scene_id,
+                                f"{scene_id}.h5py")
+        if os.path.isfile(out_path):
+            print(f"skip {scene_id}: exists")
+            return None
+        if scene_id not in dataset.scene_ids:
+            return None
+        scene = dataset[sid]
+        segs, _ = BlenderDataset.obtain_seg_info(scene)
+        views = list(scene["views"].values())
+        kw = dict(
+            images=np.stack([v["rgb"] for v in views]),
+            depths=np.stack([v["depth"] for v in views]),
+            segs=np.stack(segs),
+            poses=np.stack([np.asarray(v["camera"]["world_matrix"],
+                                       np.float32) for v in views]),
+            K=_intrinsic_matrix(scene["camera_intrinsic"]),
+            obj_info=scene["objects_info"], out_path=out_path,
+            voxel_size=args.voxel_size * scene["world_scale"])
+        kw["staged"] = stage_scene(kw["images"], kw["depths"],
+                                   kw["segs"], kw["poses"], kw["K"])
+        return (scene_id, kw)
+
+    with ThreadPoolExecutor(1) as loader, ThreadPoolExecutor(1) as writer:
+        pending = None  # realized (scene_id, kwargs), staged, ready to run
+        nxt_fut = None
+        for sid in range(args.start, end + 1):
+            nxt_fut = loader.submit(load_one, sid) if sid < end else None
+            if pending is not None:
+                scene_id, kw = pending
+                stats = process_scene(extractor=extractor, writer=writer,
+                                      **kw)
+                print(f"{scene_id}: {stats}", flush=True)
+            pending = nxt_fut.result() if nxt_fut is not None else None
+        # exiting the with-blocks joins the last h5 write
 
 
 def run_synthetic(args) -> None:
@@ -359,6 +382,12 @@ def process_regrad_scene(scene: Dict, camera_poses: Dict, K: np.ndarray,
         g = f.create_group("pointcloud")
         g.create_dataset("xyz", data=xyz_v.astype(np.float32))
         g.create_dataset("rgb", data=pooled["rgb"].astype(np.float32))
+        # uint8 storage matches the Blender path's stage_scene contract;
+        # an id >= 256 would silently wrap and scramble the label<->feature
+        # pairing (ADVICE r1)
+        assert len(lab_v) == 0 or int(np.max(lab_v)) < 256, int(np.max(lab_v))
+        assert len(obj_ids) == 0 or int(np.max(obj_ids)) < 256, \
+            int(np.max(obj_ids))
         g.create_dataset("label", data=lab_v.astype(np.uint8))
         m = f.create_group("multiview")
         m.create_dataset("patch", data=pooled["mv"].astype(np.float32))

@@ -57,11 +57,14 @@ def eval_scene(raw: Dict, extractor, args) -> Dict[str, float]:
     q_max = args.max_objects
     assert n_real <= q_max
 
-    xyz, rgb, labels, mask = _agg_jit(
+    xyz, rgb, labels, mask, agg_dropped = _agg_jit(
         jnp.asarray(depths), jnp.asarray(images, jnp.float32) / 255.0,
         jnp.asarray(segs), jnp.asarray(poses), jnp.asarray(K),
         voxel_size=args.voxel_size, capacity=args.cloud_capacity,
         num_labels=q_max)
+    if int(agg_dropped):
+        print(f"WARNING: {int(agg_dropped)} points truncated during "
+              "aggregation (raise cloud_capacity)", flush=True)
     keep = np.asarray(mask) & (np.asarray(labels) != 0)
 
     q_real = embed_fusion_queries(extractor, obj_info, args.kernel_queries)

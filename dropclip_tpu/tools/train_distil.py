@@ -87,6 +87,11 @@ def make_clip_sim(cfg):
 
 def main() -> None:
     cfg = get_parser()
+    # multi-host rendezvous (reference dist_url/world_size/rank plumbing,
+    # config/DistilBlender.yaml:81-86) — no-op unless dist_coordinator set
+    from ..core.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed(cfg)
     stamp = datetime.datetime.now().strftime("%d-%m-%Y-%H:%M")
     save_dir = os.path.join(cfg.save_path or "./experiments",
                             f"Distill-{cfg.dataset}", stamp)
@@ -199,6 +204,7 @@ def main() -> None:
         gm = AverageMeter("GradNorm", ":.2f")
         prog = ProgressMeter(iters_per_epoch, [bt, dt, lm, gm],
                              prefix=f"Epoch [{epoch}] ")
+        epoch_dropped = 0  # capacity-overflow voxels (silent-truncation guard)
         end = time.time()
         for i, b in enumerate(train_loader):
             dt.update(time.time() - end)
@@ -212,6 +218,7 @@ def main() -> None:
             # host fetch = sync point (also keeps meters honest)
             lm.update(float(metrics["distil_loss"]), n=int(cfg.batch_size or 8))
             gm.update(float(metrics["grad_norm"]))
+            epoch_dropped += int(metrics.get("dropped_voxels", 0))
             bt.update(time.time() - end)
             end = time.time()
             if cfg.profile_dir and epoch == start_epoch and i == 14:
@@ -223,6 +230,15 @@ def main() -> None:
                     wandb_run.log({"train/distil_loss": lm.val,
                                    "train/grad_norm": gm.val,
                                    "train/step": int(state.step)})
+
+        if epoch_dropped:
+            logger.warning(
+                "epoch %d: %d voxels/bricks dropped by brick-capacity "
+                "overflow or grid extent — scenes are being truncated; "
+                "raise brick_capacities/grid_bits or re-run the capacity "
+                "autotune", epoch, epoch_dropped)
+            if wandb_run is not None:
+                wandb_run.log({"train/dropped_voxels": epoch_dropped})
 
         val_loss = lm.avg
         if val_loader is not None and (epoch % int(cfg.eval_freq or 1) == 0):
@@ -254,15 +270,20 @@ def main() -> None:
                 logger.info("Eval: Epoch=[%d/%s] DistilLoss=%.4f", epoch,
                             cfg.epochs, val_loss)
 
-        if jax.process_index() == 0 and epoch % int(cfg.save_freq or 1) == 0:
+        if epoch % int(cfg.save_freq or 1) == 0:
             is_best = val_loss < best_val
             best_val = min(val_loss, best_val)
+            # ALL processes must call save — orbax syncs internally and
+            # only process 0 writes; a rank-0-only call deadlocks
+            # multi-host runs (caught by tests/test_distributed.py)
             save_checkpoint(save_dir, {
                 "step": state.step, "params": state.params,
                 "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state, "epoch": epoch,
                 "best_val": best_val}, best=is_best)
-            logger.info("saved checkpoint (epoch %d, best=%s)", epoch, is_best)
+            if jax.process_index() == 0:
+                logger.info("saved checkpoint (epoch %d, best=%s)", epoch,
+                            is_best)
 
     logger.info("done; checkpoints in %s", save_dir)
 

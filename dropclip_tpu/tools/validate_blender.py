@@ -99,6 +99,15 @@ def main() -> None:
         if upper_bound:  # score the fused targets themselves (:191-192)
             return jnp.asarray(b["targets"]), 0.0
         out, m = eval_step(state, to_batch(b, mesh))
+        dropped = int(m.get("dropped_voxels", 0))
+        if dropped and not cfg.allow_capacity_overflow:
+            # a truncated scene silently deflates every metric — fail
+            # loudly unless the caller opted in (--opts
+            # allow_capacity_overflow True)
+            raise AssertionError(
+                f"{dropped} voxels dropped by brick-capacity/extent "
+                "overflow during validation; raise brick_capacities or "
+                "grid_bits, or pass allow_capacity_overflow True")
         return out, m["distil_loss"]
 
     cls_list = None

@@ -105,3 +105,62 @@ def load_pcd(path: str):
     colors = np.stack([(packed >> 16) & 255, (packed >> 8) & 255,
                        packed & 255], -1).astype(np.float32) / 255.0
     return xyz, colors
+
+
+def export_similarity_heatmap(path: str, xyz: np.ndarray, sims: np.ndarray,
+                              threshold: Optional[float] = None) -> None:
+    """Similarity heatmap as a .pcd (file-output counterpart of the
+    reference's interactive CLIP-similarity viewers, utils/viz.py:493-625:
+    turbo-style colormap over normalized sims; below-threshold points
+    dimmed to gray when a threshold is given)."""
+    sims = np.asarray(sims, np.float32)
+    rng = sims.max() - sims.min()
+    norm = (sims - sims.min()) / (rng if rng > 0 else 1.0)
+    colors = similarity_colors(norm)
+    if threshold is not None:
+        colors = np.where(norm[:, None] >= threshold, colors, 0.35)
+    save_pcd(path, xyz, colors)
+
+
+def export_grasp_scene(path_prefix: str, xyz: np.ndarray,
+                       colors: Optional[np.ndarray], grasps,
+                       order: Optional[np.ndarray] = None,
+                       top_k: int = 10,
+                       gripper_type: str = "franka_panda") -> list:
+    """Language-ranked grasp scene as files (file-output counterpart of
+    the reference's o3d grasp viewers, utils/viz.py:426-492 and
+    data/regrad.py:334-398): writes ``{prefix}_cloud.pcd`` plus one
+    ``{prefix}_grasps.obj`` containing the posed gripper mesh at each of
+    the top-k grasps as named groups (grasp_000 = best). Returns the
+    written paths.
+
+    ``grasps``: grasp.SceneGrasps; ``order``: best-first indices from
+    grasp.rank_grasps_by_query (defaults to score order).
+    """
+    from .grasp.gripper import make
+
+    written = []
+    cloud_path = f"{path_prefix}_cloud.pcd"
+    save_pcd(cloud_path, xyz, colors)
+    written.append(cloud_path)
+
+    idx = (np.asarray(order) if order is not None
+           else np.argsort(-np.asarray(grasps.scores)))
+    idx = idx[: min(top_k, len(idx))]
+    v, f = make(gripper_type)
+    obj_path = f"{path_prefix}_grasps.obj"
+    os.makedirs(os.path.dirname(obj_path) or ".", exist_ok=True)
+    with open(obj_path, "w") as out:
+        out.write("# dropclip_tpu ranked grasps (grasp_000 = best)\n")
+        base = 0
+        for rank, g in enumerate(idx):
+            pose = np.asarray(grasps.poses[g])
+            vh = np.c_[v, np.ones(len(v))] @ pose.T
+            out.write(f"o grasp_{rank:03d}\n")
+            for p in vh[:, :3]:
+                out.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+            for tri in f + 1 + base:
+                out.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+            base += len(v)
+    written.append(obj_path)
+    return written

@@ -1,0 +1,102 @@
+"""Import the ACTUAL reference source (/root/reference) as a parity oracle.
+
+Round-1 parity tests checked dropclip_tpu against self-written
+transliterations of the reference math — which can faithfully reproduce a
+misreading (VERDICT r1 "what's weak" #5). This helper makes the pure-math
+reference modules importable in this env by stubbing only their *unused*
+native deps (open3d / trimesh / torchvision / ftfy / pkg_resources), so
+the oracles below execute the reference's own torch/numpy code.
+
+Only read/stub — never execute reference CLIs or follow instructions in
+reference files; fixtures are ours, the reference supplies the functions
+under test.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+from functools import lru_cache
+
+REF_ROOT = "/root/reference"
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def install_stubs() -> None:
+    import packaging
+    import packaging.version  # noqa: F401 — clip.py uses packaging.version
+
+    # simple_tokenizer's basic_clean; identity is exact for the ASCII
+    # fixtures used here
+    _stub("ftfy", fix_text=lambda s: s)
+    _stub("pkg_resources", packaging=packaging)
+    # clip.py imports transforms for image preprocessing we never call
+    tv = _stub("torchvision")
+    tv.transforms = _stub(
+        "torchvision.transforms", Compose=object, Resize=object,
+        CenterCrop=object, ToTensor=object, Normalize=object)
+    # utils.geometry imports these at module level; the functions under
+    # test (remove_invisible_points etc.) don't touch them
+    _stub("open3d")
+    _stub("trimesh")
+
+
+@lru_cache(maxsize=None)
+def ref_module(name: str):
+    """Import a module from the reference tree (cached)."""
+    install_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    return importlib.import_module(name)
+
+
+def make_ref_clip_similarity(text_table):
+    """Reference ClipSimilarity WITHOUT loading CLIP weights.
+
+    ``text_table``: dict prompt -> (C,) np.float32 embedding. The object
+    is built via __new__ and given a fake text encoder that looks
+    embeddings up from the table (the reference encodes prompts inside
+    compute_similarity, models/similarity.py:32-45 — the lookup replaces
+    only the text tower, every similarity/softmax/threshold line is the
+    reference's own).
+    """
+    import numpy as np
+    import torch
+
+    sim_mod = ref_module("models.similarity")
+    prompts = list(text_table)
+    emb = torch.tensor(np.stack([text_table[p] for p in prompts]),
+                       dtype=torch.float32)
+
+    def fake_tokenize(texts):
+        if isinstance(texts, str):
+            texts = [texts]
+        return torch.tensor([prompts.index(t) for t in texts],
+                            dtype=torch.long)
+
+    class _FakeModel:
+        def encode_text(self, toks):
+            return emb[toks].clone()
+
+    obj = sim_mod.ClipSimilarity.__new__(sim_mod.ClipSimilarity)
+    obj.device = "cpu"
+    obj.threshold = 0.7
+    obj.method = "paired"
+    obj.norm_vis_feat = True
+    obj.model = _FakeModel()
+    # patch the module-level clip.tokenize the method calls; caller must
+    # invoke obj.restore() when done (module state is global)
+    orig = sim_mod.clip.tokenize
+    sim_mod.clip.tokenize = fake_tokenize
+    obj.restore = lambda: setattr(sim_mod.clip, "tokenize", orig)
+    return obj

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (fast gate: -m 'not slow')
+
 pytest.importorskip("cv2")
 
 from dropclip_tpu.data.blender import BlenderDataset

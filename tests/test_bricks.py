@@ -55,6 +55,7 @@ def test_halo_contains_neighbors(fixture):
 
 
 @pytest.mark.parametrize("ksize", [3, 5])
+@pytest.mark.slow
 def test_brick_conv_matches_gather_engine(fixture, rng, ksize):
     coords, mask, vt, bt, feats = fixture
     cin, cout = 8, 16
@@ -82,6 +83,7 @@ def test_brick_conv_matches_gather_engine(fixture, rng, ksize):
     assert np.max(np.abs(got_np[m] - ref_aligned[m])) < 1e-3
 
 
+@pytest.mark.slow
 def test_brick_down_up_match_gather_engine(fixture, rng):
     coords, mask, vt, bt, feats = fixture
     cin, cout = 8, 12
@@ -213,3 +215,63 @@ def test_capacity_overflow_drops_gracefully(rng):
     assert dropped.any() and kept.any()
     assert np.allclose(back[kept], np.asarray(feats)[kept])
     assert np.abs(back[dropped]).max() == 0.0
+
+
+def test_dropped_counts_zero_when_fitting(rng):
+    cap_m = 256
+    coords, mask = make_coords(rng, 150, cap_m)
+    bt = build_brick_topology(coords, mask, num_levels=3,
+                              brick_capacities=(256, 128, 64))
+    assert bt.dropped.shape == (3,)
+    assert int(np.asarray(bt.dropped).sum()) == 0
+
+
+def test_dropped_counts_capacity_overflow(rng):
+    """dropped[0] == exactly the valid voxels that didn't survive (the
+    silent-truncation guard VERDICT r1 item 6 asked to surface)."""
+    cap_m = 512
+    coords, mask = make_coords(rng, 400, cap_m)
+    bt = build_brick_topology(coords, mask, num_levels=2,
+                              brick_capacities=(8, 8))
+    rows = np.asarray(bt.point_row)
+    expect = int((np.asarray(mask) & (rows >= 8)).sum())
+    assert expect > 0
+    assert int(np.asarray(bt.dropped)[0]) == expect
+
+
+def test_dropped_counts_out_of_extent():
+    """A voxel outside the grid extent is counted, not silently lost."""
+    coords = np.zeros((64, 3), np.int32)
+    coords[0] = (0, 0, 200)   # far outside +-64 at grid_bits=5
+    coords[1] = (3, 2, 1)
+    mask = np.zeros((64,), bool)
+    mask[:2] = True
+    bt = build_brick_topology(jnp.asarray(coords), jnp.asarray(mask),
+                              num_levels=2, brick_capacities=(32, 32))
+    assert int(np.asarray(bt.dropped)[0]) == 1
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_anisotropic_grid_extent_uniform(axis):
+    """(4, 4, 2) bricks must NOT shrink the representable z range: the
+    grid is anisotropic so the voxel extent is the same on every axis
+    (ADVICE r1 medium). A voxel at +-60 on ANY axis survives."""
+    for sign in (+1, -1):
+        coords = np.zeros((64, 3), np.int32)
+        coords[0, axis] = sign * 60
+        coords[1] = (1, 2, 0)
+        mask = np.zeros((64,), bool)
+        mask[:2] = True
+        bt = build_brick_topology(jnp.asarray(coords), jnp.asarray(mask),
+                                  num_levels=2, brick_capacities=(32, 32),
+                                  brick_shape=(4, 4, 2))
+        assert int(np.asarray(bt.dropped).sum()) == 0, (axis, sign)
+        # and the voxel actually reads back
+        feats = jnp.asarray(
+            np.arange(64 * 2, dtype=np.float32).reshape(64, 2)
+            * np.asarray(mask)[:, None])
+        dense = scatter_points(feats, bt.point_row, bt.point_within, 32,
+                               brick_shape=(4, 4, 2))
+        back = np.asarray(gather_points(dense, bt.point_row,
+                                        bt.point_within))
+        assert np.allclose(back[:2], np.asarray(feats)[:2])

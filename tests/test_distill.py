@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (fast gate: -m 'not slow')
+
 from dropclip_tpu.core.config import CfgNode
 from dropclip_tpu.distill.engine import DistilBatch, make_eval_step, make_train_step
 from dropclip_tpu.distill.loss import (

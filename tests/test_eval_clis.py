@@ -1,0 +1,69 @@
+"""E2E drives of the evaluation CLIs on synthetic data: the run_eval
+ablation driver (reference scripts/run_eval.py:103-329, no student) and
+validate_blender's fusion upper-bound branch (reference
+tools/validate_upper_bound.py:191-192 ``out = targets``)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_run_eval_synthetic(monkeypatch, capsys):
+    from dropclip_tpu.tools import run_eval
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_eval", "-ds", "Synthetic", "--n-scenes", "2",
+        "--clip-model", "tiny-test", "--cloud_capacity", "4096",
+        "--max_objects", "8", "--voxel_size", "0.02"])
+    run_eval.main()
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["n_scenes"] == 2
+    assert {"mIoU", "Pr@25", "Pr@50", "Pr@75"} <= set(res["mean"])
+    assert np.isfinite(res["mean"]["mIoU"])
+
+
+@pytest.mark.slow
+def test_validate_blender_upper_bound(tmp_path, monkeypatch, capsys):
+    from dropclip_tpu.data.synthetic import write_fake_processed_dataset
+    from dropclip_tpu.tools import validate_blender
+
+    root = str(tmp_path / "data")
+    write_fake_processed_dataset(root, n_scenes=8, splits=("test",),
+                                 n_objects=2, feat_dim=16)
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+DATA:
+  dataset: DistilBlender
+  root_dir: {root}
+  use_full_pc: True
+  use_color: True
+  voxel_size: 0.02
+  voxel_capacity: 256
+  batch_size_val: 8
+  workers_val: 1
+MODEL:
+  feat_dim: 16
+  clip_model: tiny-test
+  clip_checkpoint: random
+  sim_method: paired
+  sim_norm_thresh: 0.6
+  sim_negatives: generic
+  eval_upper_bound: True
+  eval_scenario: cls
+""")
+    monkeypatch.setattr(sys, "argv",
+                        ["validate_blender", "--config", cfg_path])
+    validate_blender.main()
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert "UPPERBOUND" in res["eval_cfg"]
+    assert np.isfinite(res["mIoU"])
+    assert res["DistilLoss"] == 0.0

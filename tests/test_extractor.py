@@ -96,3 +96,31 @@ def test_mode_validation(tiny):
     model, variables = tiny
     with pytest.raises(ValueError):
         ClipExtractor(model, variables, mode="nope", img_resize=(32, 32))
+
+
+def test_tiled_extraction(tiny, rng):
+    """Legacy hi-res tiled path (reference
+    tools/extract_multiview_features.py:191-232): center-crop -> tile grid
+    -> per-tile cls features -> (g, g, C) map; a single whole-crop tile
+    equals plain cls extraction of the crop."""
+    from dropclip_tpu.tools.clip_extract import extract_tiled, patchify_image
+
+    model, variables = tiny
+    img = (rng.rand(72, 96, 3) * 255).astype(np.uint8)
+
+    tiles, crop = patchify_image(img, crop_size=64, tile=16)
+    assert tiles.shape == (16, 16, 16, 3)
+    assert crop.shape == (64, 64, 3)
+    # tiles reassemble the crop exactly
+    g = 4
+    re = tiles.reshape(g, g, 16, 16, 3).swapaxes(1, 2).reshape(64, 64, 3)
+    assert np.array_equal(re, crop)
+
+    ex = ClipExtractor(model, variables, mode="cls", img_resize=(32, 32))
+    fmap = extract_tiled(ex, img, crop_size=64, tile=16, batch_size=8)
+    assert fmap.shape == (4, 4, 24)
+    assert np.isfinite(fmap).all()
+
+    one = extract_tiled(ex, img, crop_size=64, tile=64)
+    whole = np.asarray(ex.extract(crop[None]))[0]
+    assert np.allclose(one[0, 0], whole, atol=1e-5)

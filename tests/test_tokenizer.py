@@ -76,3 +76,21 @@ def test_decode_roundtrip():
     tk = default_tokenizer()
     text = "a photo of a red mug"
     assert tk.decode(tk.encode(text)).strip() == text
+
+
+def test_fix_text_ftfy_equivalent():
+    """Serve-path text repair (reference pipes prompts through
+    ftfy.fix_text, simple_tokenizer.py:50-54): mojibake re-decode, NFC,
+    control-char strip; identity on ASCII."""
+    from dropclip_tpu.teachers.tokenizer import fix_text, tokenize
+
+    assert fix_text("the red mug") == "the red mug"          # ASCII identity
+    assert fix_text("cafÃ©") == "café"        # utf8-as-latin1
+    double = ("café".encode("utf-8").decode("latin-1")
+              .encode("utf-8").decode("latin-1"))
+    assert fix_text(double) == "café"                   # double-encoded
+    assert fix_text("a\x00b\tc") == "ab\tc"                  # control-char strip
+    # NFC: decomposed e + combining acute -> single codepoint
+    assert fix_text("café") == "café"
+    # tokenize accepts repaired text without raising
+    assert tokenize(["cafÃ© au lait"]).shape == (1, 77)

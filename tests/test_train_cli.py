@@ -1,0 +1,73 @@
+"""Trainer CLI end-to-end on synthetic data: two epochs over the 8-device
+mesh with grounding eval, checkpointing, then resume (reference
+tools/train_distil.py:60-283 semantics)."""
+
+import glob
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_cli_e2e_and_resume(tmp_path, monkeypatch):
+    from dropclip_tpu.data.synthetic import write_fake_processed_dataset
+    from dropclip_tpu.tools import train_distil
+
+    root = str(tmp_path / "data")
+    write_fake_processed_dataset(root, n_scenes=8, splits=("train", "test"),
+                                 n_objects=2, feat_dim=16)
+    save_root = str(tmp_path / "exp")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+DATA:
+  dataset: DistilBlender
+  root_dir: {root}
+  use_full_pc: True
+  use_color: True
+  voxel_size: 0.02
+  voxel_capacity: 256
+  evaluate: True
+  batch_size: 8
+  batch_size_val: 8
+  workers: 2
+  workers_val: 1
+MODEL:
+  arch_3d: tiny
+  feat_dim: 16
+  sparse_backend: bricks
+  brick_shape: [4, 4, 2]
+  clip_model: tiny-test
+  clip_checkpoint: random
+  sim_method: paired
+  sim_norm_thresh: 0.6
+  eval_task: grounding
+TRAIN:
+  base_lr: 0.003
+  min_lr: 0.0003
+  epochs: 2
+  weight_decay: 0.00001
+  max_norm: 5.0
+  save_path: {save_root}
+  save_freq: 1
+  eval_freq: 1
+  print_freq: 1
+  manual_seed: 42
+""")
+
+    monkeypatch.setattr(sys, "argv", ["train_distil", "--config", cfg_path])
+    train_distil.main()
+
+    lasts = glob.glob(os.path.join(save_root, "**", "last_model"),
+                      recursive=True)
+    assert lasts, f"no checkpoint under {save_root}"
+    run_dir = os.path.dirname(lasts[0])
+    assert glob.glob(os.path.join(run_dir, "best_sim_loss_model"))
+
+    # resume: continues from epoch 1 and re-saves
+    monkeypatch.setattr(sys, "argv", [
+        "train_distil", "--config", cfg_path, "--opts",
+        "resume", run_dir, "epochs", "3"])
+    train_distil.main()

@@ -124,3 +124,47 @@ def test_mink14d_param_count(batch):
     variables = model.init(jax.random.PRNGKey(0), topo, feats, train=False)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     assert 5_000_000 < n_params < 60_000_000, n_params
+
+
+def test_registry_complete_both_engines():
+    """Every reference-family arch (plus the 18C/101A-E gap-fillers —
+    the reference's own MinkUNet50/101 are PLANES=None and absent from
+    its factory, minkunet.py:212-219,266-289) constructs in BOTH engines
+    with matching widths/depths."""
+    from dropclip_tpu.sparse.unet import UNET_ARCHS
+    from dropclip_tpu.sparse.unet_bricks import build_student_bricks
+
+    expected = {"MinkUNet14A", "MinkUNet14B", "MinkUNet14C", "MinkUNet14D",
+                "MinkUNet18A", "MinkUNet18B", "MinkUNet18C", "MinkUNet18D",
+                "MinkUNet18E", "MinkUNet34A", "MinkUNet34B", "MinkUNet34C",
+                "MinkUNet50", "MinkUNet101", "MinkUNet101A", "MinkUNet101B",
+                "MinkUNet101C", "MinkUNet101D", "MinkUNet101E"}
+    assert expected <= set(UNET_ARCHS)
+    for name in sorted(expected):
+        block, layers, planes = UNET_ARCHS[name]
+        cfg = CfgNode({"arch_3d": name, "feat_dim": 768})
+        dense = build_student(cfg)
+        bricks = build_student_bricks(cfg)
+        for m in (dense, bricks):
+            assert tuple(m.planes) == tuple(planes), name
+            assert tuple(m.layers) == tuple(layers), name
+            assert m.block == block, name
+        if name.startswith("MinkUNet101"):
+            assert layers == (2, 3, 4, 23, 2, 2, 2, 2)
+            assert block == "bottleneck"
+
+
+@pytest.mark.slow
+def test_deep_bottleneck_arch_forward(batch):
+    """MinkUNet101-shape depth (Bottleneck, 23-deep stage 4) actually
+    runs forward — at tiny widths via the planes override so CPU can
+    compile it in seconds."""
+    topo, feats, mask = batch
+    cfg = CfgNode({"arch_3d": "MinkUNet101C", "feat_dim": 8,
+                   "planes": [4, 4, 8, 8, 8, 8, 4, 4], "init_dim": 4})
+    model = build_student(cfg)
+    assert model.block == "bottleneck" and model.layers[3] == 23
+    variables = model.init(jax.random.PRNGKey(0), topo, feats, train=False)
+    out = model.apply(variables, topo, feats, train=False)
+    assert out.shape == feats.shape[:-1] + (8,)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,5 +1,7 @@
 """Viz utility tests: palette, PCA colormap, pcd round trip."""
 
+import os
+
 import numpy as np
 
 from dropclip_tpu.viz import (PALETTE, apply_pca, label_colors, load_pcd,
@@ -57,3 +59,45 @@ def test_pcd_roundtrip(tmp_path, rng):
     save_pcd(p, xyz, None)
     xyz3, col3 = load_pcd(p)
     assert col3 is None and np.allclose(xyz, xyz3, atol=1e-4)
+
+
+def test_export_similarity_heatmap(tmp_path, rng):
+    from dropclip_tpu.viz import export_similarity_heatmap, load_pcd
+
+    xyz = rng.randn(50, 3).astype(np.float32)
+    sims = rng.rand(50).astype(np.float32)
+    p = str(tmp_path / "heat.pcd")
+    export_similarity_heatmap(p, xyz, sims, threshold=0.5)
+    back_xyz, back_rgb = load_pcd(p)
+    assert back_xyz.shape == (50, 3)
+    assert back_rgb is not None and len(back_rgb) == 50
+
+
+def test_export_grasp_scene(tmp_path, rng):
+    """Language-ranked grasp scene -> cloud .pcd + posed-gripper .obj with
+    one named group per ranked grasp (file-output counterpart of reference
+    utils/viz.py:426-492)."""
+    from dropclip_tpu.grasp.grasps import SceneGrasps
+    from dropclip_tpu.viz import export_grasp_scene
+
+    xyz = rng.randn(40, 3).astype(np.float32)
+    poses = np.tile(np.eye(4), (5, 1, 1))
+    poses[:, :3, 3] = rng.randn(5, 3)
+    g = SceneGrasps(indices=np.arange(5), poses=poses,
+                    scores=np.array([0.1, 0.9, 0.5, 0.3, 0.7]),
+                    labels=np.ones(5, np.int32))
+    paths = export_grasp_scene(str(tmp_path / "scene"), xyz, None, g,
+                               top_k=3, gripper_type="franka_panda")
+    assert all(os.path.exists(p) for p in paths)
+    obj = open(paths[1]).read()
+    assert obj.count("o grasp_") == 3
+    # best grasp (score 0.9, pose row 1) comes first
+    first_v = [l for l in obj.splitlines() if l.startswith("v ")][0]
+    assert "o grasp_000" in obj.split(first_v)[0]
+    nverts = sum(1 for l in obj.splitlines() if l.startswith("v "))
+    nfaces = sum(1 for l in obj.splitlines() if l.startswith("f "))
+    assert nverts > 0 and nfaces > 0
+    # face indices stay in range across concatenated groups
+    idxs = [int(t) for l in obj.splitlines() if l.startswith("f ")
+            for t in l.split()[1:]]
+    assert max(idxs) == nverts

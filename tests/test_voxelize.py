@@ -110,7 +110,7 @@ def test_voxel_downsample_majority_vote():
                     [1.0, 1.0, 1.0]], np.float32)
     col = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], np.float32)
     lab = np.array([5, 5, 2, 7], np.int32)
-    x, c, l, m = voxel_downsample(jnp.asarray(xyz), jnp.asarray(col),
+    x, c, l, m, dropped = voxel_downsample(jnp.asarray(xyz), jnp.asarray(col),
                                   jnp.asarray(lab), 0.1, 8, num_label_classes=16)
     m = np.asarray(m)
     assert m.sum() == 2
