@@ -367,13 +367,37 @@ def main_metrics():
     variables = jax.jit(
         lambda p, t: model_clip.init(jax.random.PRNGKey(0), p, t))(
             jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 77), jnp.int32))
-    clip_sim = ClipSimilarity(model_clip, variables, method="paired",
+    base_sim = ClipSimilarity(model_clip, variables, method="paired",
                               threshold=0.6)
+
+    names = ["mug", "bowl", "can", "box", "bottle", "plate"]
+
+    class _WhitenedSim:
+        """Text encoder whitened on the class anchors. A RANDOM-weight
+        CLIP maps every prompt near one mean direction (pairwise cos
+        ~0.9+), so a converged-but-imperfect student can't separate
+        classes — an artifact of random weights, not of the loop this
+        mode measures. Whitening (applied identically to targets and
+        eval queries, so consistency is preserved) restores the
+        separability real CLIP text embeddings have."""
+
+        def __init__(self, base, anchors):
+            self.base = base
+            e = np.asarray(base.encode_text(anchors), np.float64)
+            _, s, vt = np.linalg.svd(e, full_matrices=False)
+            self._w = (vt.T / s) @ vt  # (C, C): anchors -> orthonormal
+
+        def encode_text(self, prompts):
+            e = np.asarray(self.base.encode_text(list(prompts)), np.float64)
+            w = e @ self._w
+            w /= np.linalg.norm(w, axis=-1, keepdims=True)
+            return jnp.asarray(w.astype(np.float32))
+
+    clip_sim = _WhitenedSim(base_sim, ["table"] + names)
 
     root = "/tmp/bench_metrics_ds"
     shutil.rmtree(root, ignore_errors=True)
     rng = np.random.default_rng(0)
-    names = ["mug", "bowl", "can", "box", "bottle", "plate"]
     n_objects = 4
     n_train, n_test = (2, 1) if smoke else (8, 4)
     for split, ns in (("train", n_train), ("test", n_test)):
@@ -402,7 +426,7 @@ def main_metrics():
         sim_negatives="scene", manual_seed=42,
         arch_3d="MinkUNet14D", feat_dim=dim, loss_type="cosine",
         planes=[8, 8, 16, 16, 16, 16, 8, 8], layers=[1] * 8, init_dim=8,
-        base_lr=1e-2, min_lr=1e-3, epochs=8 if smoke else 60,
+        base_lr=1e-2, min_lr=1e-3, epochs=8 if smoke else 100,
         weight_decay=1e-5, max_norm=5.0, remat=False,
         brick_shape=[4, 4, 2]))
 

@@ -5,6 +5,8 @@ tree that loads into both engines."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (fast gate: -m 'not slow')
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ compiled on TPU when available)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (fast gate: -m 'not slow')
+
 import jax
 import jax.numpy as jnp
 

@@ -9,6 +9,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (fast gate: -m 'not slow')
+
 from dropclip_tpu.core.config import CfgNode
 from dropclip_tpu.data.regrad import VIEWS_MAPPING, RegradDataset
 

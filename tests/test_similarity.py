@@ -101,6 +101,7 @@ def test_paired_probs_in_unit_interval(embs):
     assert np.all((p >= 0) & (p <= 1))
 
 
+@pytest.mark.slow
 def test_wrapper_with_tiny_clip(rng):
     """End-to-end: prompts -> tiny CLIP text encoder -> predict."""
     import jax

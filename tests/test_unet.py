@@ -42,6 +42,7 @@ def test_forward_shapes_and_masking(batch):
     assert np.isfinite(valid).all()
 
 
+@pytest.mark.slow
 def test_train_mode_updates_batch_stats(batch):
     topo, feats, mask = batch
     model = tiny_model()
@@ -55,6 +56,7 @@ def test_train_mode_updates_batch_stats(batch):
     assert changed
 
 
+@pytest.mark.slow
 def test_padding_invariance():
     """Outputs at valid voxels must not depend on the padding capacity."""
     rng = np.random.RandomState(2)
@@ -77,6 +79,7 @@ def test_padding_invariance():
                                np.asarray(out_l)[0, :n], rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cls_head(batch):
     topo, feats, mask = batch
     model = tiny_model(use_cls_head=True, n_classes=9)
@@ -86,6 +89,7 @@ def test_cls_head(batch):
     assert logits.shape == (2, 128, 9)
 
 
+@pytest.mark.slow
 def test_gradients_flow(batch):
     topo, feats, mask = batch
     model = tiny_model()
@@ -115,6 +119,7 @@ def test_build_student_parity_channels():
     assert model.init_dim == 32
 
 
+@pytest.mark.slow
 def test_mink14d_param_count(batch):
     """MinkUNet14D with 6-ch input ~ the reference student; sanity-check the
     parameter count is in the expected few-M range and all shapes exist."""
