@@ -371,6 +371,10 @@ def main_metrics():
                               threshold=0.6)
 
     names = ["mug", "bowl", "can", "box", "bottle", "plate"]
+    _CLASS_COLORS = {  # distinct, far apart in RGB
+        "mug": (0.9, 0.15, 0.15), "bowl": (0.15, 0.8, 0.15),
+        "can": (0.15, 0.25, 0.9), "box": (0.9, 0.85, 0.15),
+        "bottle": (0.85, 0.2, 0.85), "plate": (0.15, 0.85, 0.85)}
 
     class _WhitenedSim:
         """Text encoder whitened on the class anchors. A RANDOM-weight
@@ -408,7 +412,16 @@ def main_metrics():
             order = rng.permutation(len(names))  # distinct classes per
             # scene: "cls" queries must be unambiguous for grounding
             for k in range(1, n_objects + 1):
-                info[k]["cls_name"] = names[int(order[k - 1])]
+                cls = names[int(order[k - 1])]
+                info[k]["cls_name"] = cls
+                # class determines color: make_raw_scene colors objects
+                # RANDOMLY, so with permuted class names nothing in the
+                # input predicts the target embedding and a converged
+                # student still scores ~16% val mIoU (pure memorization
+                # of the train scenes). A fixed class->color map makes
+                # the distillation task learnable, so the student score
+                # measures the train->eval loop, not an impossible task.
+                raw["colors"][raw["labels"] == k] = _CLASS_COLORS[cls]
             texts = ["table"] + [info[k]["cls_name"]
                                  for k in range(1, n_objects + 1)]
             feats = np.asarray(clip_sim.encode_text(texts), np.float32)
