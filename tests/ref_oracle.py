@@ -49,6 +49,30 @@ def install_stubs() -> None:
     # test (remove_invisible_points etc.) don't touch them
     _stub("open3d")
     _stub("trimesh")
+    # utils.misc imports loguru at module level; the metric functions
+    # under test never log
+    class _Logger:
+        def __getattr__(self, name):
+            return lambda *a, **k: None
+
+    _stub("loguru", logger=_Logger())
+
+    # models/distil/__init__.py imports disnet -> minkunet -> resnet_base,
+    # which import MinkowskiEngine at module level. Only the pure-torch
+    # loss module is ever *executed*; class definitions just need the ME
+    # names to exist (BLOCK/PLANES class attrs, never instantiated).
+    class _MEBlock:
+        expansion = 1
+
+    class _MEBottleneck:
+        expansion = 4
+
+    me = _stub("MinkowskiEngine")
+    me.MinkowskiNetwork = object
+    me.modules = _stub("MinkowskiEngine.modules")
+    me.modules.resnet_block = _stub(
+        "MinkowskiEngine.modules.resnet_block",
+        BasicBlock=_MEBlock, Bottleneck=_MEBottleneck)
 
 
 @lru_cache(maxsize=None)
