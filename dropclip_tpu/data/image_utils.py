@@ -21,13 +21,21 @@ def seg_mask_to_binary(seg: np.ndarray) -> np.ndarray:
     return np.stack([seg == i for i in ids])
 
 
-def binary_masks_to_seg(masks: np.ndarray, ids: np.ndarray) -> np.ndarray:
-    """(K, H, W) + ids -> (H, W) seg; later masks overwrite (reference
-    utils/image.py:11-15)."""
-    seg = np.zeros(masks.shape[1:], np.asarray(ids).dtype)
-    for m, i in zip(masks, ids):
-        seg[m.astype(bool)] = i
-    return seg
+def binary_masks_to_seg(masks: np.ndarray, ids: Optional[np.ndarray] = None
+                        ) -> np.ndarray:
+    """(K, H, W) + ids -> (H, W) seg; overlaps resolve to the MAX id
+    (reference utils/image.py:11-15 ``np.max(masks * ids)``)."""
+    if ids is None:
+        ids = np.arange(masks.shape[0], dtype=np.uint8)
+    ids = np.asarray(ids)
+    return np.max(masks.astype(ids.dtype) * ids[:, None, None], axis=0)
+
+
+def seg_continuous_ids(seg: np.ndarray) -> np.ndarray:
+    """Remap arbitrary instance ids to 0..K-1 in sorted-id order
+    (reference utils/image.py:18-22)."""
+    _, new_ids = np.unique(seg, return_inverse=True)
+    return new_ids.reshape(seg.shape).astype(np.uint8)
 
 
 def mask2box(mask: np.ndarray) -> Optional[Tuple[int, int, int, int]]:
