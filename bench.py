@@ -228,10 +228,13 @@ def main_fusion():
 
     staged = [stage_scene(s["images"], s["depths"], s["segs"], s["poses"],
                           s["K"]) for s in scenes[:1]]
-    from concurrent.futures import ThreadPoolExecutor
+    from dropclip_tpu.tools.preprocess_data import SceneWriter
 
-    writer = ThreadPoolExecutor(1)  # h5 writes overlap the next scene's
-    # compute, as run_blender's production pipeline does
+    # bounded one-slot writer (run_blender's production pipeline): the h5
+    # write overlaps the next scene's compute, but each submit joins the
+    # previous write, so slow writes show up IN the per-scene times
+    # instead of backing up in an unbounded queue outside the clock
+    writer = SceneWriter()
     times = []
     for i, s in enumerate(scenes):
         t0 = time.perf_counter()
@@ -247,9 +250,13 @@ def main_fusion():
             cloud_capacity=4096 if smoke else 131072, staged=staged[i],
             writer=writer)
         times.append(time.perf_counter() - t0)
-    writer.shutdown(wait=True)
-    steady = times[1:] if len(times) > 1 else times  # drop compile scene
-    scenes_per_sec = 1.0 / float(np.median(steady))
+    t0 = time.perf_counter()
+    writer.close()
+    drain = time.perf_counter() - t0
+    # steady-state rate over the post-compile scenes INCLUDING the final
+    # write drain — the sustainable pipeline rate, not submit-cost-only
+    steady = times[1:] if len(times) > 1 else times
+    scenes_per_sec = len(steady) / (float(np.sum(steady)) + drain)
     return {
         "metric": "fused_scenes_per_sec",
         "value": round(scenes_per_sec, 3),

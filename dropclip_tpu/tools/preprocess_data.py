@@ -62,6 +62,43 @@ def embed_fusion_queries(extractor: ClipExtractor, obj_info: Dict,
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
+class SceneWriter:
+    """One-slot async h5 writer.
+
+    The previous scene's write overlaps the current scene's device
+    compute, but the slot is bounded to a SINGLE pending write: a disk
+    slower than compute backpressures ingest instead of accumulating
+    tens-of-MB scene payloads in memory, and a failed write re-raises on
+    the next ``submit``/``close`` instead of being silently dropped on an
+    unobserved future (a scene would otherwise be reported processed with
+    no file on disk)."""
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(1)
+        self._fut = None
+
+    def submit(self, fn, *args, **kwargs):
+        if self._fut is not None:
+            self._fut.result()  # join + re-raise the previous write
+        self._fut = self._pool.submit(fn, *args, **kwargs)
+
+    def close(self):
+        try:
+            if self._fut is not None:
+                fut, self._fut = self._fut, None
+                fut.result()
+        finally:
+            self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def stage_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
                 poses: np.ndarray, K: np.ndarray) -> Dict:
     """Ship one scene's arrays host->device in the smallest wire dtypes.
@@ -242,7 +279,7 @@ def run_blender(args) -> None:
                                    kw["segs"], kw["poses"], kw["K"])
         return (scene_id, kw)
 
-    with ThreadPoolExecutor(1) as loader, ThreadPoolExecutor(1) as writer:
+    with ThreadPoolExecutor(1) as loader, SceneWriter() as writer:
         pending = None  # realized (scene_id, kwargs), staged, ready to run
         nxt_fut = None
         for sid in range(args.start, end + 1):

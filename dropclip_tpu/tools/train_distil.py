@@ -51,14 +51,26 @@ def get_parser() -> CfgNode:
 
 
 def to_batch(b, mesh) -> DistilBatch:
-    sh = NamedSharding(mesh, P(DATA_AXIS))
-    put = lambda x: jax.device_put(jnp.asarray(x), sh)
-    labels = jnp.asarray(b["labels"]).astype(jnp.int32)
-    return DistilBatch(
-        coords=put(b["coords"]), mask=put(b["mask"]),
-        in_feats=put(b["in_feats"]), targets=put(b["targets"]),
-        labels=put(labels),
-        labels_cls=put(b.get("labels_cls", np.zeros_like(b["labels"]))))
+    arrays = dict(
+        coords=np.asarray(b["coords"]), mask=np.asarray(b["mask"]),
+        in_feats=np.asarray(b["in_feats"]), targets=np.asarray(b["targets"]),
+        labels=np.asarray(b["labels"], np.int32),
+        labels_cls=np.asarray(b.get("labels_cls",
+                                    np.zeros_like(b["labels"])), np.int32))
+    if jax.process_count() > 1:
+        # each process's loader yields its shard (global_batch / n_proc
+        # rows); assemble them into one global batch-sharded array. A
+        # plain device_put onto a cross-process sharding would require
+        # the SAME value on every process and silently (or loudly)
+        # mis-assemble per-process shards.
+        from jax.experimental import multihost_utils
+
+        arrays = multihost_utils.host_local_array_to_global_array(
+            arrays, mesh, P(DATA_AXIS))
+    else:
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        arrays = {k: jax.device_put(v, sh) for k, v in arrays.items()}
+    return DistilBatch(**arrays)
 
 
 def make_clip_sim(cfg):
@@ -120,17 +132,22 @@ def main() -> None:
     assert int(cfg.batch_size_val or 8) % n_dev == 0, (
         f"val batch {cfg.batch_size_val} must divide over {n_dev} devices")
 
+    # each process loads its slice of the GLOBAL batch (the reference's
+    # global-batch-divided-per-GPU contract, ref train_distil.py:146-147);
+    # to_batch assembles the slices into one global batch-sharded array
+    nproc = jax.process_count()
+    assert int(cfg.batch_size or 8) % nproc == 0
     train_ds, val_ds, collate = build_dataset_for(cfg)
     train_loader = DataLoader(
-        train_ds, int(cfg.batch_size or 8), collate, shuffle=True,
+        train_ds, int(cfg.batch_size or 8) // nproc, collate, shuffle=True,
         num_workers=int(cfg.workers or 8), seed=int(cfg.manual_seed or 42),
-        shard_index=jax.process_index(), num_shards=jax.process_count())
+        shard_index=jax.process_index(), num_shards=nproc)
     val_loader = None
     if val_ds is not None:
         val_loader = DataLoader(
-            val_ds, int(cfg.batch_size_val or 8), collate, shuffle=False,
-            num_workers=int(cfg.workers_val or 2),
-            shard_index=jax.process_index(), num_shards=jax.process_count())
+            val_ds, max(int(cfg.batch_size_val or 8) // nproc, 1), collate,
+            shuffle=False, num_workers=int(cfg.workers_val or 2),
+            shard_index=jax.process_index(), num_shards=nproc)
 
     model = build_student_for(cfg)
     iters_per_epoch = max(len(train_loader), 1)
@@ -164,9 +181,21 @@ def main() -> None:
     state = create_train_state(model, topo0, jnp.asarray(example["in_feats"]),
                                tx, rng=jax.random.PRNGKey(
                                    int(cfg.manual_seed or 42)))
-    rep = NamedSharding(mesh, P())
-    state = jax.tree.map(
-        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state)
+    if nproc > 1:
+        # replicate onto the cross-process mesh: every process computed
+        # the identical init (same seed/shapes), and the blessed route to
+        # a global replicated array is the multihost assembly helper
+        from jax.experimental import multihost_utils
+
+        state = jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P()) if hasattr(x, "shape") else x,
+            state)
+    else:
+        rep = NamedSharding(mesh, P())
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+            state)
 
     start_epoch = int(cfg.start_epoch or 0)
     best_val = float("inf")
@@ -193,6 +222,40 @@ def main() -> None:
     def eval_forward(b):
         out, m = eval_step(state, to_batch(b, mesh))
         return out, m["distil_loss"]
+
+    if nproc > 1:
+        # grounding eval does host-side per-scene work on the forward's
+        # output, which cannot read a cross-process global array. So each
+        # process evaluates its own val shard on LOCAL devices with a
+        # host copy of the replicated params, and the scalar metrics are
+        # all-reduced afterwards — the reference's per-rank validate +
+        # all_reduce (engine/distil.py:475-493).
+        local_eval = jax.jit(make_eval_step(cfg))
+        _pull = lambda x: jax.device_get(x.addressable_data(0)) \
+            if isinstance(x, jax.Array) else x
+
+        def _local_state(s, _cache={}):
+            if _cache.get("id") != id(s):
+                _cache["id"] = id(s)
+                _cache["state"] = s.replace(
+                    step=_pull(s.step),
+                    params=jax.tree.map(_pull, s.params),
+                    batch_stats=jax.tree.map(_pull, s.batch_stats),
+                    opt_state=None)
+            return _cache["state"]
+
+        def eval_forward(b):  # noqa: F811 — multi-process override
+            lb = DistilBatch(
+                coords=jnp.asarray(b["coords"]),
+                mask=jnp.asarray(b["mask"]),
+                in_feats=jnp.asarray(b["in_feats"]),
+                targets=jnp.asarray(b["targets"]),
+                labels=jnp.asarray(np.asarray(b["labels"], np.int32)),
+                labels_cls=jnp.asarray(np.asarray(
+                    b.get("labels_cls", np.zeros_like(b["labels"])),
+                    np.int32)))
+            out, m = local_eval(_local_state(state), lb)
+            return out, m["distil_loss"]
 
     dropout_key = jax.random.PRNGKey(int(cfg.manual_seed or 42) + 1)
 
@@ -252,11 +315,27 @@ def main() -> None:
                 cls_embs = clip_sim.encode_text(cls_names)
                 seg_res = validate_segmentation(val_loader, eval_forward,
                                                 cls_embs, cfg)
+                if nproc > 1:
+                    from ..core.mesh import all_reduce_mean_host
+
+                    ks = sorted(seg_res)
+                    seg_res = dict(zip(ks, np.asarray(all_reduce_mean_host(
+                        [float(seg_res[k]) for k in ks])).tolist()))
                 logger.info("Eval Segmentation: Epoch=[%d/%s] %s", epoch,
                             cfg.epochs, seg_res)
             if clip_sim is not None and cfg.eval_task in ("all", "grounding"):
                 res = validate_grounding(val_loader, eval_forward, clip_sim,
                                          cfg)
+                if nproc > 1:
+                    # per-process shard metrics -> global mean (the
+                    # reference's metric all_reduce; equal shards so
+                    # mean-of-means is exact)
+                    from ..core.mesh import all_reduce_mean_host
+
+                    ks = sorted(res)
+                    vs = np.asarray(all_reduce_mean_host(
+                        [float(res[k]) for k in ks]))
+                    res = dict(zip(ks, vs.tolist()))
                 logger.info("Eval Grounding: Epoch=[%d/%s] %s", epoch,
                             cfg.epochs, res)
                 val_loss = res["DistilLoss"]
@@ -267,10 +346,18 @@ def main() -> None:
             else:
                 losses = [float(eval_forward(b)[1]) for b in val_loader]
                 val_loss = float(np.mean(losses)) if losses else lm.avg
+                if nproc > 1:
+                    from ..core.mesh import all_reduce_mean_host
+
+                    val_loss = float(np.asarray(
+                        all_reduce_mean_host([val_loss]))[0])
                 logger.info("Eval: Epoch=[%d/%s] DistilLoss=%.4f", epoch,
                             cfg.epochs, val_loss)
 
         if epoch % int(cfg.save_freq or 1) == 0:
+            # val_loss is globally reduced above, so is_best is identical
+            # on every process — a rank-divergent `best` would turn the
+            # best-checkpoint save into a mismatched orbax collective
             is_best = val_loss < best_val
             best_val = min(val_loss, best_val)
             # ALL processes must call save — orbax syncs internally and
