@@ -30,10 +30,19 @@ def force_cpu_devices(n: int) -> None:
     another backend was initialized in-process: backends are cleared and
     re-created on CPU.
     """
+    import re
+
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if m is None:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={n}").strip()
+    elif int(m.group(1)) < n:
+        # a pre-set smaller count must not cap the requested mesh
+        os.environ["XLA_FLAGS"] = (
+            flags[:m.start()]
+            + f"--xla_force_host_platform_device_count={n}"
+            + flags[m.end():])
 
     import jax
 

@@ -49,7 +49,10 @@ def fix_text(text: str) -> str:
     mojibake class — UTF-8 bytes mis-read as cp1252/latin-1, up to twice
     for double-encoding — accepting a repair only when it strictly
     reduces mojibake indicator characters; (2) NFC-normalize; (3) drop
-    control/format characters (keeping whitespace). Identity on ASCII.
+    control/surrogate/unassigned characters, keeping whitespace AND
+    format chars (Cf) — ftfy preserves ZWJ/ZWNJ and other joiners that
+    carry meaning in Indic scripts and emoji sequences. Identity on
+    ASCII.
     """
     import unicodedata
 
@@ -71,7 +74,9 @@ def fix_text(text: str) -> str:
         text = repaired
     text = unicodedata.normalize("NFC", text)
     return "".join(c for c in text
-                   if c.isspace() or unicodedata.category(c)[0] != "C")
+                   if c.isspace()
+                   or unicodedata.category(c) not in
+                   ("Cc", "Co", "Cs", "Cn"))
 
 
 @functools.lru_cache()

@@ -25,6 +25,9 @@ def patchify_image(image: np.ndarray, crop_size: int, tile: int):
     and uses the per-tile cls embedding as a coarse dense feature map)."""
     assert crop_size % tile == 0, (crop_size, tile)
     h, w = image.shape[:2]
+    assert crop_size <= min(h, w), (
+        f"crop_size {crop_size} exceeds image {h}x{w}; pass --crop-size "
+        f"<= {min(h, w)} (a multiple of tile={tile})")
     sx = h // 2 - crop_size // 2
     sy = w // 2 - crop_size // 2
     c = image[sx: sx + crop_size, sy: sy + crop_size]

@@ -112,13 +112,17 @@ def export_similarity_heatmap(path: str, xyz: np.ndarray, sims: np.ndarray,
     """Similarity heatmap as a .pcd (file-output counterpart of the
     reference's interactive CLIP-similarity viewers, utils/viz.py:493-625:
     turbo-style colormap over normalized sims; below-threshold points
-    dimmed to gray when a threshold is given)."""
+    dimmed to gray when a threshold is given). The colormap is min-max
+    scaled for contrast, but ``threshold`` cuts on the RAW similarity —
+    the same absolute scale as sim_norm_thresh everywhere else — so a
+    query matching nothing in the scene dims everything instead of
+    always painting the relatively-best quarter hot."""
     sims = np.asarray(sims, np.float32)
     rng = sims.max() - sims.min()
     norm = (sims - sims.min()) / (rng if rng > 0 else 1.0)
     colors = similarity_colors(norm)
     if threshold is not None:
-        colors = np.where(norm[:, None] >= threshold, colors, 0.35)
+        colors = np.where(sims[:, None] >= threshold, colors, 0.35)
     save_pcd(path, xyz, colors)
 
 

@@ -29,11 +29,11 @@ for ((i=0; i<P; i++)); do
              TPU_MESH_CONTROLLER_ADDRESS="localhost:$((8476 + i))"
              TPU_MESH_CONTROLLER_PORT="$((8476 + i))")
   fi
-  env "${PIN_ENV[@]}" \
+  env ${PIN_ENV[@]+"${PIN_ENV[@]}"} \
   python -m dropclip_tpu.tools.preprocess_data -ds Blender -r "$ROOT" \
       -c "$OUT" --start "$S" --end "$E" "$@" \
       > "$OUT/ingest_${S}_${E}.log" 2>&1 &
   pids+=($!)
 done
-for pid in "${pids[@]}"; do wait "$pid"; done
+for pid in ${pids[@]+"${pids[@]}"}; do wait "$pid"; done
 echo "all $P ingest workers done"
