@@ -92,5 +92,9 @@ def test_fix_text_ftfy_equivalent():
     assert fix_text("a\x00b\tc") == "ab\tc"                  # control-char strip
     # NFC: decomposed e + combining acute -> single codepoint
     assert fix_text("café") == "café"
+    # format chars (Cf) survive like ftfy: ZWJ carries meaning in emoji
+    # sequences and Indic scripts; only Cc/Cs/Co/Cn are dropped
+    zwj = "\N{ZERO WIDTH JOINER}"
+    assert fix_text("a" + zwj + "b\x07c") == "a" + zwj + "bc"
     # tokenize accepts repaired text without raising
     assert tokenize(["cafÃ© au lait"]).shape == (1, 77)

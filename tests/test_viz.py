@@ -71,6 +71,14 @@ def test_export_similarity_heatmap(tmp_path, rng):
     back_xyz, back_rgb = load_pcd(p)
     assert back_xyz.shape == (50, 3)
     assert back_rgb is not None and len(back_rgb) == 50
+    # the threshold cuts on RAW similarity (absolute scale, same as
+    # sim_norm_thresh), not the minmax-normalized colors: a query
+    # matching nothing must dim EVERY point, not paint the relative
+    # best quarter hot
+    export_similarity_heatmap(p, xyz, np.full(50, 0.1, np.float32)
+                              + 1e-4 * sims, threshold=0.5)
+    _, dim_rgb = load_pcd(p)
+    assert np.allclose(dim_rgb, 0.35, atol=1e-3)
 
 
 def test_export_grasp_scene(tmp_path, rng):
