@@ -7,11 +7,13 @@ attention.py:70-89; the CLIP towers use torch MHA). At ViT lengths the
 whole (Tq, Tk) score matrix fits VMEM, so one program per (batch, head)
 computes QK^T -> masked softmax -> PV in a single pass — no online
 (flash) softmax, no multi-pass rescaling. Measured on v5e at the hot
-shape: 17.0 TF/s vs 13.0 for the tuned flash kernel and 13.6 for
-jax.nn.dot_product_attention, exact (0 ulp) vs the XLA reference. The
-remaining gap to the MXU roofline is VMEM traffic on the f32 score
-matrix — restructuring (denominator-in-matmul, 2 heads/program) was
-measured NOT to help; see PERF.md.
+shape: 19.6 TF/s (vs 13.0 for the tuned flash kernel, 13.6-13.9 for
+jax.nn.dot_product_attention, and 17.0 for this kernel's earlier naive
+softmax — the kernel is VPU-instruction-bound, so trimming full-matrix
+elementwise passes is what moves it; see _kernel). Matches the XLA
+reference to one bf16 ulp (max abs err 2^-8 at unit-scale outputs).
+Restructurings measured NOT to help: denominator-in-matmul,
+2 heads/program, bf16 score storage; see PERF.md.
 
 Shape note: all sequence dims pad to multiples of 128 (q rows padded to
 a bare sublane multiple of 16 measured as a Mosaic compile hang at this
@@ -37,17 +39,30 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, t: int, scale: float):
+    # The kernel is VPU-bound (PERF.md: the MXU matmuls are ~12% of the
+    # 17 TF/s baseline's time), so every full-(Tq,Tk)-matrix elementwise
+    # pass counts. Three reductions vs the naive form:
+    #   - key-pad masking + the softmax scale fold into ONE fma pass:
+    #     sm = s * (scale*log2e) + bias, with bias a (1, Tk) row of
+    #     0 / -inf (iota over a row vector, not the full matrix);
+    #   - exp2 instead of exp (exp lowers to exp2 + a multiply; the
+    #     multiply is now inside the fma);
+    #   - the softmax denominator divides the (Tq, D) OUTPUT instead of
+    #     the (Tq, Tk) score matrix (unnormalized probs lie in (0, 1]
+    #     after max-subtraction — same relative precision at bf16).
+    c = scale * 1.4426950408889634  # log2(e): exp(x*scale) == exp2(x*c)
     s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < t, s, -jnp.inf)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    den = jnp.sum(e, axis=-1, keepdims=True)
-    p = (e / den).astype(q_ref.dtype)
-    o = jax.lax.dot_general(p, v_ref[0], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[-1]), 1)
+    bias = jnp.where(col < t, 0.0, -jnp.inf)  # (1, Tk) row, broadcast below
+    sm = s * c + bias
+    m = jnp.max(sm, axis=-1, keepdims=True)
+    e = jnp.exp2(sm - m)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(e.astype(q_ref.dtype), v_ref[0],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o * (1.0 / den)).astype(o_ref.dtype)
 
 
 # conservative VMEM budget for the per-program working set (f32 scores +
