@@ -38,6 +38,13 @@ def _quat_to_matrix(q: np.ndarray) -> np.ndarray:
         [xz - wy, yz + wx, 1 - (xx + yy)]])
 
 
+def _apply_se3(T: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Host-side homogeneous transform of (N, 3) points."""
+    p = np.asarray(points, np.float64)
+    return (np.c_[p, np.ones(len(p))] @ np.asarray(T, np.float64).T
+            )[:, :3].astype(np.float32)
+
+
 class RegradDataset:
     def __init__(self, cfg, split: str):
         self.cfg = cfg
@@ -152,6 +159,22 @@ class RegradDataset:
             agg_rgb.append(rgb)
             agg_lab.append(label)
 
+        # Whole-scene camera-frame conversion: per-view clouds + grasp
+        # poses move to each view's camera frame; the aggregate cloud
+        # stays in world frame (reference utils/transforms.py:5-16
+        # applied at data/regrad.py:279-281 AFTER aggregation).
+        if self.reference_frame == "camera":
+            for v, entry in result.items():
+                if not entry.get("valid"):
+                    continue
+                T_inv = np.linalg.inv(
+                    np.asarray(self.camera_info["extrinsic"][v], np.float64))
+                entry["pc_xyz"] = _apply_se3(T_inv, entry["pc_xyz"])
+                if self.cfg.with_grasp and v in all_grasps:
+                    all_grasps[v]["grasp_poses"] = (
+                        T_inv[None] @ all_grasps[v]["grasp_poses"]
+                    ).astype(np.float32)
+
         pc = {"pc_xyz": np.concatenate(agg_xyz) if agg_xyz else np.zeros((0, 3)),
               "pc_rgb": np.concatenate(agg_rgb) if agg_rgb else np.zeros((0, 3)),
               "pc_label": np.concatenate(agg_lab) if agg_lab else np.zeros((0,))}
@@ -170,6 +193,115 @@ class RegradDataset:
 
     def idx_to_scene_id(self, index: int) -> str:
         return self.scene_ids[index]
+
+    def _scene_cloud(self, scene: Dict, view: int, seg: bool):
+        """Cloud + colors for view 0 (aggregate) or a single view
+        (reference data/regrad.py:309-317)."""
+        from .. import viz
+
+        if view == 0:
+            src = scene["aggr"]
+        else:
+            if not 1 <= view <= self.nviews:
+                raise ValueError(f"view must be in 1..{self.nviews}")
+            src = scene["views"][view]
+        colors = (viz.label_colors(src["pc_label"]) if seg
+                  else np.clip(src["pc_rgb"], 0, 1))
+        return src["pc_xyz"], colors
+
+    def export_scene(self, index: int, path: str, view: int = 0,
+                     seg: bool = False, world_frame: bool = False,
+                     camera_frames: bool = False) -> str:
+        """File-output counterpart of the reference's interactive
+        ``visualize_scene`` (data/regrad.py:305-331): writes one .pcd of
+        the aggregate (view=0) or per-view cloud, colored by rgb or by
+        the label palette; ``world_frame``/``camera_frames`` append
+        r/g/b axis-triad sample points where the reference adds o3d
+        coord-frame meshes."""
+        from .. import viz
+
+        scene = self[index]
+        xyz, colors = self._scene_cloud(scene, view, seg)
+        extra_xyz, extra_col = [], []
+        if world_frame:
+            fx, fc = viz.coord_frame_points(scale=0.25)
+            extra_xyz.append(fx)
+            extra_col.append(fc)
+        if camera_frames:
+            views = ([view] if view > 0
+                     else sorted(self.camera_info["extrinsic"]))
+            for v in views:
+                fx, fc = viz.coord_frame_points(
+                    scale=0.25, transform=self.camera_info["extrinsic"][v])
+                extra_xyz.append(fx)
+                extra_col.append(fc)
+        if extra_xyz:
+            xyz = np.concatenate([xyz] + extra_xyz)
+            colors = np.concatenate([colors] + extra_col)
+        viz.save_pcd(path, xyz, colors)
+        return path
+
+    def gather_grasps(self, scene: Dict, view: int = 0):
+        """Grasps for one view, or all views concatenated (view=0), as a
+        grasp.SceneGrasps in the cloud's frame (reference
+        data/regrad.py:337-377). With ``reference_frame == "camera"``
+        and view=0, each view's poses are converted back to world with
+        that view's own extrinsic — the reference converts every view
+        with the last loop view's extrinsic (a leaked loop variable,
+        :364-366), which is wrong for all but the final view; we do the
+        per-view conversion deliberately."""
+        from ..grasp.grasps import SceneGrasps
+
+        if view == 0:
+            parts = []
+            for v in range(1, self.nviews + 1):
+                if v not in scene["grasps"]:
+                    continue
+                g = scene["grasps"][v]
+                poses = g["grasp_poses"]
+                if self.reference_frame == "camera":
+                    T = np.asarray(self.camera_info["extrinsic"][v],
+                                   np.float64)
+                    poses = (T[None] @ poses).astype(np.float32)
+                parts.append((g["grasp_indices"], poses,
+                              g["grasp_scores"], g["grasp_labels"]))
+            if not parts:
+                return SceneGrasps(np.zeros(0, np.int32),
+                                   np.zeros((0, 4, 4), np.float32),
+                                   np.zeros(0, np.float32),
+                                   np.zeros(0, np.uint8))
+            return SceneGrasps(*(np.concatenate([p[i] for p in parts])
+                                 for i in range(4)))
+        g = scene["grasps"][view]
+        return SceneGrasps(g["grasp_indices"], g["grasp_poses"],
+                           g["grasp_scores"], g["grasp_labels"])
+
+    def export_grasps(self, index: int, path_prefix: str, view: int = 0,
+                      score_thresh: float = 0.75, max_grasps: int = 50,
+                      sort: bool = False, object_only=None,
+                      seg: bool = False, gripper_type: Optional[str] = None,
+                      rng: Optional[np.random.Generator] = None) -> list:
+        """File-output counterpart of the reference's interactive
+        ``visualize_grasps`` (data/regrad.py:334-398): same grasp
+        aggregation/filtering pipeline (score > 3*thresh, optional
+        object filter, top-k by score or random sample), then writes the
+        cloud .pcd + posed gripper meshes .obj via viz.export_grasp_scene.
+        Returns the written paths."""
+        from .. import viz
+
+        scene = self[index]
+        xyz, colors = self._scene_cloud(scene, view, seg)
+        grasps = self.gather_grasps(scene, view)
+        grasps = grasps.filter_by_score(score_thresh)
+        if object_only is not None:
+            grasps = grasps.filter_by_labels(object_only)
+        grasps = (grasps.select_topk(max_grasps) if sort
+                  else grasps.sample(max_grasps, rng=rng))
+        return viz.export_grasp_scene(
+            path_prefix, xyz, colors, grasps,
+            order=np.arange(len(grasps)), top_k=len(grasps),
+            gripper_type=(gripper_type or self.cfg.gripper_type
+                          or "franka_panda"))
 
 
 def _matrix_to_quat(m: np.ndarray) -> np.ndarray:

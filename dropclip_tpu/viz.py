@@ -56,6 +56,28 @@ def apply_pca(features: np.ndarray, n_components: int = 3,
     return out.astype(np.float32)
 
 
+def coord_frame_points(scale: float = 0.25,
+                       transform: Optional[np.ndarray] = None,
+                       n: int = 32):
+    """Coordinate-frame axis triad as sample points (file-output
+    counterpart of the reference's o3d coord-frame meshes,
+    utils/viz.py get_coord_frame used by data/regrad.py:319-329):
+    (3n, 3) xyz along +x/+y/+z of the frame, colored r/g/b."""
+    t = np.linspace(0.0, scale, n, dtype=np.float32)
+    zeros = np.zeros_like(t)
+    xyz = np.concatenate([np.stack([t, zeros, zeros], -1),
+                          np.stack([zeros, t, zeros], -1),
+                          np.stack([zeros, zeros, t], -1)])
+    colors = np.concatenate([np.tile([1.0, 0.0, 0.0], (n, 1)),
+                             np.tile([0.0, 1.0, 0.0], (n, 1)),
+                             np.tile([0.0, 0.0, 1.0], (n, 1))]
+                            ).astype(np.float32)
+    if transform is not None:
+        T = np.asarray(transform, np.float64)
+        xyz = (np.c_[xyz, np.ones(len(xyz))] @ T.T)[:, :3].astype(np.float32)
+    return xyz, colors
+
+
 def similarity_colors(sims: np.ndarray) -> np.ndarray:
     """(N,) similarity in [0,1] -> blue->red heat colors (reference
     utils/viz.py similarity viewers)."""

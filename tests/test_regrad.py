@@ -82,6 +82,79 @@ def test_raw_reader(raw_root):
     assert set(v1["6D_poses"]) == {1, 2}
 
 
+def test_camera_frame_scene_conversion(raw_root):
+    """reference_frame='camera' moves per-view clouds + grasp poses into
+    each view's camera frame (reference utils/transforms.py:5-16 applied
+    at data/regrad.py:279-281); the aggregate stays world; gather_grasps
+    converts back to world per view (fixing the reference's leaked
+    loop-variable extrinsic, data/regrad.py:364-366)."""
+    T = np.eye(4)
+    T[:3, 3] = [1.0, -2.0, 0.5]
+
+    ds_w = RegradDataset(raw_cfg(raw_root), "train")
+    ds_w.camera_info["extrinsic"][1] = T
+    scene_w = ds_w[0]
+
+    cfg_c = raw_cfg(raw_root)
+    cfg_c["reference_frame"] = "camera"
+    ds_c = RegradDataset(cfg_c, "train")
+    ds_c.camera_info["extrinsic"][1] = T
+    scene_c = ds_c[0]
+
+    # view 1 cloud translated by -t (inv of pure translation)
+    np.testing.assert_allclose(scene_c["views"][1]["pc_xyz"],
+                               scene_w["views"][1]["pc_xyz"] - T[:3, 3],
+                               atol=1e-5)
+    # view 2 has identity extrinsic -> unchanged
+    np.testing.assert_allclose(scene_c["views"][2]["pc_xyz"],
+                               scene_w["views"][2]["pc_xyz"], atol=1e-5)
+    # aggregate cloud stays world frame
+    np.testing.assert_allclose(scene_c["aggr"]["pc_xyz"],
+                               scene_w["aggr"]["pc_xyz"], atol=1e-5)
+    # grasp poses moved to camera frame
+    np.testing.assert_allclose(
+        scene_c["grasps"][1]["grasp_poses"][:, :3, 3],
+        scene_w["grasps"][1]["grasp_poses"][:, :3, 3] - T[:3, 3], atol=1e-5)
+    # gather_grasps(view=0) converts back to world, per view
+    g_c = ds_c.gather_grasps(scene_c, view=0)
+    g_w = ds_w.gather_grasps(scene_w, view=0)
+    np.testing.assert_allclose(g_c.poses, g_w.poses, atol=1e-5)
+    np.testing.assert_allclose(g_c.scores, g_w.scores)
+
+
+def test_export_scene_and_grasps(raw_root, tmp_path):
+    """Dataset-level export viewers (file-output counterparts of the
+    reference's visualize_scene/visualize_grasps, data/regrad.py:305-398)."""
+    from dropclip_tpu import viz
+
+    ds = RegradDataset(raw_cfg(raw_root), "train")
+    path = ds.export_scene(0, str(tmp_path / "scene.pcd"), view=0, seg=True,
+                           world_frame=True, camera_frames=True)
+    xyz, colors = viz.load_pcd(path)
+    # 400 cloud points + axis triads: 1 world + 9 camera frames, 96 pts each
+    assert len(xyz) == 400 + 96 * 10
+    assert colors is not None
+    # per-view export, rgb colors
+    ds.export_scene(0, str(tmp_path / "v1.pcd"), view=1)
+    xyz1, _ = viz.load_pcd(str(tmp_path / "v1.pcd"))
+    assert len(xyz1) == 200
+    with pytest.raises(ValueError):
+        ds.export_scene(0, str(tmp_path / "bad.pcd"), view=7)  # nviews=2
+
+    written = ds.export_grasps(0, str(tmp_path / "g"), view=0,
+                               score_thresh=0.1, max_grasps=5, sort=True,
+                               gripper_type="marker")
+    assert str(tmp_path / "g_cloud.pcd") in written
+    obj = (tmp_path / "g_grasps.obj").read_text()
+    n_groups = obj.count("o grasp_")
+    assert 1 <= n_groups <= 5
+    # object_only filter restricted to label 1 grasps
+    w2 = ds.export_grasps(0, str(tmp_path / "g1"), view=1, score_thresh=0.0,
+                          max_grasps=50, sort=True, object_only=1,
+                          gripper_type="marker")
+    assert (tmp_path / "g1_grasps.obj").exists() and len(w2) == 2
+
+
 @pytest.fixture(scope="module")
 def processed_root(tmp_path_factory):
     import h5py
