@@ -92,6 +92,17 @@ def main() -> None:
             feats = np.asarray(out[0])[m]
             save_pcd(os.path.join(out_dir, f"{sid}_student_pca.pcd"), xyz,
                      apply_pca(feats))
+            # combined side-by-side panels (rgb | label | PCA(student) |
+            # PCA(targets)) in one file — the reference's viz_feat_scene /
+            # viz_multiview_feat_scene window as a dump (utils/viz.py:557-604)
+            from ..viz import export_feat_scene
+
+            export_feat_scene(
+                os.path.join(out_dir, f"{sid}_panels.pcd"), xyz,
+                np.clip(rgb, 0, 1) if rgb is not None
+                else np.full((len(xyz), 3), 0.6), labels, feats,
+                patch_feat=targets,
+                trans_factor=float(np.ptp(xyz[:, 0]) * 1.2 + 1e-3))
 
             # language-conditioned dumps (file-output counterparts of the
             # reference's interactive similarity/grasp viewers,
@@ -104,13 +115,27 @@ def main() -> None:
 
                 pos = clip_sim.encode_text([str(cfg.viz_query)])[0]
                 negs = clip_sim.encode_text(list(NEGATIVE_PROMPT_GENERIC))
-                _, sims = predict_from_embeddings(
+                pred, sims = predict_from_embeddings(
                     _jnp.asarray(feats), pos, negs,
-                    method=cfg.sim_method or "paired")
+                    method=cfg.sim_method or "paired",
+                    threshold=float(cfg.sim_norm_thresh or 0.75))
                 export_similarity_heatmap(
                     os.path.join(out_dir, f"{sid}_query_heatmap.pcd"), xyz,
                     np.asarray(sims),
                     threshold=float(cfg.sim_norm_thresh or 0.75))
+                # heatmap | thresholded-prediction panels in one file
+                # (reference viz_clip_pred, utils/viz.py:607-614)
+                from ..viz import export_clip_pred
+
+                s = np.asarray(sims, np.float32)
+                rngs = s.max() - s.min()
+                export_clip_pred(
+                    os.path.join(out_dir, f"{sid}_query_pred.pcd"), xyz,
+                    np.asarray(pred, bool),
+                    (s - s.min()) / (rngs if rngs > 0 else 1.0),
+                    background=(np.clip(rgb, 0, 1) if rgb is not None
+                                else np.full((len(xyz), 3), 0.6)),
+                    trans_factor=float(np.ptp(xyz[:, 0]) * 1.2 + 1e-3))
 
                 # ranked grasp scene: synthesize antipodal candidates at
                 # high-similarity points when the dataset carries no grasp

@@ -190,3 +190,192 @@ def export_grasp_scene(path_prefix: str, xyz: np.ndarray,
             base += len(v)
     written.append(obj_path)
     return written
+
+
+def heat_colors(x: np.ndarray) -> np.ndarray:
+    """(...,) values in [0,1] -> (..., 3) colors via matplotlib's turbo
+    when available (the reference viewers' cmap, utils/viz.py:495,557),
+    else the built-in blue->red map."""
+    try:
+        import matplotlib
+
+        return np.asarray(matplotlib.colormaps["turbo"](np.clip(x, 0, 1))
+                          )[..., :3].astype(np.float32)
+    except Exception:
+        return similarity_colors(np.reshape(x, (-1,))).reshape(
+            np.shape(x) + (3,))
+
+
+def _draw_line(img: np.ndarray, p0, p1, color, thickness: int = 2) -> None:
+    """In-place numpy line rasterizer (keeps viz.py cv2-free)."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    n = int(max(abs(p1 - p0).max(), 1)) * 2 + 1
+    pts = np.round(np.linspace(p0, p1, n)).astype(np.int64)
+    h, w = img.shape[:2]
+    r = thickness // 2
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            x = np.clip(pts[:, 0] + dx, 0, w - 1)
+            y = np.clip(pts[:, 1] + dy, 0, h - 1)
+            img[y, x] = color
+
+
+def draw_2d_grasps_in_image(img: np.ndarray, grasp_rectangles) -> np.ndarray:
+    """Draw 2D grasp rectangles on an RGB image (reference
+    utils/viz.py:415-423): finger edges (A-B, D-C) in red, jaw edges
+    (B-C, A-D) in blue. ``grasp_rectangles``: iterable of (4, 2) corner
+    arrays in (x, y) pixels — grasp.Grasp2D.as_rect / SceneGrasps2D.get_rects."""
+    out = np.array(img, copy=True)
+    red, blue = (255, 0, 0), (0, 0, 255)
+    for rect in grasp_rectangles:
+        a, b, c, d = np.asarray(rect, np.float32)
+        _draw_line(out, a, b, red)
+        _draw_line(out, d, c, red)
+        _draw_line(out, b, c, blue)
+        _draw_line(out, a, d, blue)
+    return out
+
+
+def _save_png(path: str, img: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    from PIL import Image
+
+    Image.fromarray(np.ascontiguousarray(img)).save(path)
+
+
+def _title_bar(width: int, text: str, height: int = 24) -> np.ndarray:
+    bar = np.full((height, width, 3), 255, np.uint8)
+    try:
+        from PIL import Image, ImageDraw
+
+        im = Image.fromarray(bar)
+        ImageDraw.Draw(im).text((4, 4), text, fill=(0, 0, 0))
+        bar = np.asarray(im)
+    except Exception:
+        pass
+    return bar
+
+
+def export_multiview_similarity(path: str, images, sims, text_query: str,
+                                threshold: Optional[float] = 0.9) -> str:
+    """PNG-grid counterpart of the reference's interactive
+    ``viz_multiview_clip_sim`` (utils/viz.py:493-520): top row = each
+    view with per-pixel sims min-max normalized and points above
+    ``threshold`` painted red; bottom row = the turbo heatmap of the
+    normalized sims; title carries the language query."""
+    tops, bots = [], []
+    for image, sim in zip(images, sims):
+        sim = np.asarray(sim, np.float32)
+        rng = sim.max() - sim.min()
+        sim_norm = (sim - sim.min()) / (rng if rng > 0 else 1.0)
+        top = np.array(image, np.uint8, copy=True)
+        if threshold is not None:
+            top[sim_norm > threshold] = (255, 0, 0)
+        tops.append(top)
+        bots.append((heat_colors(sim_norm) * 255).astype(np.uint8))
+    grid = np.concatenate([np.concatenate(tops, 1),
+                           np.concatenate(bots, 1)], 0)
+    title = _title_bar(grid.shape[1],
+                       f'Similarity to language query "{text_query}"')
+    _save_png(path, np.concatenate([title, grid], 0))
+    return path
+
+
+def export_multiview_similarity_obj_prior(path: str, images, segms, obj_map,
+                                          sims, text_query: str) -> str:
+    """PNG-grid counterpart of ``viz_multiview_clip_sim_obj_prior``
+    (utils/viz.py:523-554): per view, sims are per-OBJECT (K,); top row
+    paints the argmax object's mask red, bottom row splats normalized
+    per-object sims over each object's segmentation mask."""
+    tops, bots = [], []
+    for image, seg, sim, objs in zip(images, segms, sims, obj_map):
+        sim = np.asarray(sim, np.float32)
+        rng = sim.max() - sim.min()
+        sim_norm = (sim - sim.min()) / (rng if rng > 0 else 1.0)
+        seg = np.asarray(seg)
+        top = np.array(image, np.uint8, copy=True)
+        top[seg == objs[int(sim.argmax())]] = (255, 0, 0)
+        tops.append(top)
+        splat = np.zeros(seg.shape, np.float32)
+        for i, obj in enumerate(objs):
+            splat[seg == obj] = sim_norm[i]
+        bots.append((heat_colors(splat) * 255).astype(np.uint8))
+    grid = np.concatenate([np.concatenate(tops, 1),
+                           np.concatenate(bots, 1)], 0)
+    title = _title_bar(
+        grid.shape[1],
+        f'Similarity to language query "{text_query}" with object prior')
+    _save_png(path, np.concatenate([title, grid], 0))
+    return path
+
+
+def export_feat_scene(path: str, xyz: np.ndarray, rgb: np.ndarray,
+                      label: np.ndarray, feat: np.ndarray,
+                      patch_feat: Optional[np.ndarray] = None,
+                      trans_factor: float = 15.0) -> str:
+    """Side-by-side feature-scene panels in ONE .pcd (file-output
+    counterpart of ``viz_feat_scene`` / ``viz_multiview_feat_scene``,
+    utils/viz.py:557-604): rgb | label palette | PCA of the L2-normalized
+    per-point features, each panel translated +trans_factor along x
+    (+ an optional PCA(patch_feat) panel, the multiview variant's 4th)."""
+    f = np.asarray(feat, np.float64)
+    f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+    panels = [(np.clip(rgb, 0, 1), 0.0),
+              (label_colors(label), 1.0),
+              (apply_pca(f), 2.0)]
+    if patch_feat is not None:
+        panels.append((apply_pca(np.asarray(patch_feat, np.float64)), 3.0))
+    xyz = np.asarray(xyz, np.float32)
+    all_xyz = np.concatenate(
+        [xyz + np.array([t * trans_factor, 0, 0], np.float32)
+         for _, t in panels])
+    all_col = np.concatenate([c for c, _ in panels])
+    save_pcd(path, all_xyz, all_col)
+    return path
+
+
+def export_clip_pred(path: str, xyz: np.ndarray, pred: np.ndarray,
+                     sims_norm: np.ndarray, background: np.ndarray,
+                     gt: Optional[np.ndarray] = None,
+                     trans_factor: float = 15.0) -> str:
+    """Grounding-prediction panels in ONE .pcd (file-output counterpart
+    of ``viz_clip_pred`` / ``viz_clip_pred_gt``, utils/viz.py:607-625):
+    turbo heatmap of sims_norm | [gt mask in grayscale] | background
+    with predicted points painted red; panels translated along x."""
+    xyz = np.asarray(xyz, np.float32)
+    back = np.array(background, np.float32, copy=True)
+    back[np.asarray(pred, bool)] = (1.0, 0.0, 0.0)
+    panels = [heat_colors(np.asarray(sims_norm, np.float32))]
+    if gt is not None:
+        g = np.asarray(gt, np.float32)
+        panels.append(np.repeat(g[:, None], 3, axis=1))
+    panels.append(back)
+    all_xyz = np.concatenate(
+        [xyz + np.array([i * trans_factor, 0, 0], np.float32)
+         for i in range(len(panels))])
+    save_pcd(path, all_xyz, np.concatenate(panels))
+    return path
+
+
+def export_boxes(path: str, boxes, colors=None, n: int = 24) -> str:
+    """Axis-aligned 3D box outlines as edge-sampled points in a .pcd
+    (file-output counterpart of get_wireframe/draw_box_outline,
+    utils/viz.py:320-355). ``boxes``: (B, 2, 3) [min, max] corners."""
+    edges = [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3), (2, 6),
+             (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)]
+    pts, cols = [], []
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 2, 3)
+    for b, (lo, hi) in enumerate(boxes):
+        corners = np.array([[lo[0] if not i & 1 else hi[0],
+                             lo[1] if not i & 2 else hi[1],
+                             lo[2] if not i & 4 else hi[2]]
+                            for i in range(8)], np.float32)
+        color = (np.asarray(colors[b], np.float32) if colors is not None
+                 else PALETTE[(b + 1) % len(PALETTE)])
+        for e0, e1 in edges:
+            seg = np.linspace(corners[e0], corners[e1], n)
+            pts.append(seg)
+            cols.append(np.tile(color, (n, 1)))
+    save_pcd(path, np.concatenate(pts), np.concatenate(cols))
+    return path

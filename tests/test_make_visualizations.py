@@ -92,5 +92,7 @@ TRAIN:
     assert any(f.endswith("_target_pca.pcd") for f in files), files
     assert any(f.endswith("_student_pca.pcd") for f in files), files
     assert any(f.endswith("_query_heatmap.pcd") for f in files), files
+    assert any(f.endswith("_panels.pcd") for f in files), files
+    assert any(f.endswith("_query_pred.pcd") for f in files), files
     assert any(f.endswith("_query_grasps.obj") for f in files), files
     assert any(f.endswith("_query_cloud.pcd") for f in files), files

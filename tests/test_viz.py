@@ -109,3 +109,99 @@ def test_export_grasp_scene(tmp_path, rng):
     idxs = [int(t) for l in obj.splitlines() if l.startswith("f ")
             for t in l.split()[1:]]
     assert max(idxs) == nverts
+
+
+def test_draw_2d_grasps_in_image():
+    from dropclip_tpu.viz import draw_2d_grasps_in_image
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    rect = np.array([[10, 10], [40, 10], [40, 30], [10, 30]], np.float32)
+    out = draw_2d_grasps_in_image(img, [rect])
+    assert img.sum() == 0  # input untouched
+    # finger edges (A-B, D-C) red, jaw edges (B-C, A-D) blue
+    assert (out[10, 25] == (255, 0, 0)).all()
+    assert (out[30, 25] == (255, 0, 0)).all()
+    assert (out[20, 40] == (0, 0, 255)).all()
+    assert (out[20, 10] == (0, 0, 255)).all()
+
+
+def test_export_multiview_similarity(tmp_path, rng):
+    from dropclip_tpu.viz import (export_multiview_similarity,
+                                  export_multiview_similarity_obj_prior)
+
+    images = rng.randint(0, 255, (2, 16, 20, 3)).astype(np.uint8)
+    sims = rng.rand(2, 16, 20).astype(np.float32)
+    p = export_multiview_similarity(str(tmp_path / "mv.png"), images, sims,
+                                    "a red mug", threshold=0.9)
+    from PIL import Image
+
+    arr = np.asarray(Image.open(p))
+    assert arr.shape[1] == 2 * 20 and arr.shape[0] > 2 * 16  # grid + title
+    # hot pixels painted red in the top row
+    hot = np.unravel_index(sims[0].argmax(), sims[0].shape)
+    assert (arr[24 + hot[0], hot[1]][:3] == (255, 0, 0)).all()
+
+    seg = np.zeros((2, 16, 20), np.int32)
+    seg[:, 2:8, 2:8] = 1
+    seg[:, 9:14, 9:18] = 2
+    obj_sims = np.array([[0.1, 0.9], [0.8, 0.2]], np.float32)
+    p2 = export_multiview_similarity_obj_prior(
+        str(tmp_path / "mvo.png"), images, seg, [[1, 2], [1, 2]], obj_sims,
+        "a red mug")
+    arr2 = np.asarray(Image.open(p2))
+    # view 0 argmax object = 2 -> its mask painted red
+    assert (arr2[24 + 10, 10][:3] == (255, 0, 0)).all()
+    assert (arr2[24 + 3, 3][:3] != (255, 0, 0)).any()
+
+
+def test_export_feat_scene_and_clip_pred(tmp_path, rng):
+    from dropclip_tpu.viz import export_clip_pred, export_feat_scene, load_pcd
+
+    n = 30
+    xyz = rng.randn(n, 3).astype(np.float32)
+    feat = rng.randn(n, 8).astype(np.float32)
+    p = export_feat_scene(str(tmp_path / "fs.pcd"), xyz, rng.rand(n, 3),
+                          rng.randint(0, 5, n), feat,
+                          patch_feat=feat, trans_factor=10.0)
+    back, cols = load_pcd(p)
+    assert len(back) == 4 * n and cols is not None
+    # panels translated along x by 10
+    assert np.allclose(back[n:2 * n, 0] - back[:n, 0], 10.0, atol=1e-4)
+
+    pred = rng.rand(n) > 0.5
+    p2 = export_clip_pred(str(tmp_path / "cp.pcd"), xyz, pred,
+                          rng.rand(n).astype(np.float32),
+                          background=np.full((n, 3), 0.5, np.float32),
+                          gt=(rng.rand(n) > 0.5), trans_factor=10.0)
+    back2, cols2 = load_pcd(p2)
+    assert len(back2) == 3 * n
+    # predicted points red in the last panel
+    last = cols2[2 * n:]
+    assert np.allclose(last[pred], [1, 0, 0], atol=1 / 255 + 1e-6)
+
+
+def test_export_boxes(tmp_path):
+    from dropclip_tpu.viz import export_boxes, load_pcd
+
+    boxes = np.array([[[0, 0, 0], [1, 1, 1]], [[2, 2, 2], [3, 4, 5]]],
+                     np.float32)
+    p = export_boxes(str(tmp_path / "boxes.pcd"), boxes, n=8)
+    xyz, cols = load_pcd(p)
+    assert len(xyz) == 2 * 12 * 8 and cols is not None
+    # first box's points stay within its corners
+    b0 = xyz[:96]
+    assert b0.min() >= -1e-5 and b0.max() <= 1 + 1e-5
+
+
+def test_coord_frame_points():
+    from dropclip_tpu.viz import coord_frame_points
+
+    T = np.eye(4)
+    T[:3, 3] = [1, 2, 3]
+    xyz, cols = coord_frame_points(scale=0.5, transform=T, n=16)
+    assert xyz.shape == (48, 3) and cols.shape == (48, 3)
+    # x-axis points run from origin to origin + 0.5*x, colored red
+    assert np.allclose(xyz[0], [1, 2, 3], atol=1e-6)
+    assert np.allclose(xyz[15], [1.5, 2, 3], atol=1e-6)
+    assert np.allclose(cols[0], [1, 0, 0])
+    assert np.allclose(cols[-1], [0, 0, 1])
