@@ -7,6 +7,12 @@ device; shuffling is a per-epoch permutation from a (seed, epoch) fold
 (replacing sampler.set_epoch, reference :225); in multi-process JAX each
 process takes its ``process_index``-strided shard (replacing
 DistributedSampler's rank split).
+
+The reference's ``MultiEpochsDataLoader`` (utils/misc.py:342-371) exists
+to keep torch worker PROCESSES alive across epochs; workers here are
+threads in a per-epoch pool whose spin-up is microseconds, so the
+persistent-worker trick is unnecessary by construction (and the
+per-epoch ``with`` block guarantees cleanup on early exit).
 """
 
 from __future__ import annotations

@@ -379,3 +379,24 @@ def export_boxes(path: str, boxes, colors=None, n: int = 24) -> str:
             cols.append(np.tile(color, (n, 1)))
     save_pcd(path, np.concatenate(pts), np.concatenate(cols))
     return path
+
+
+def draw_relation_boxes_on_image(img: np.ndarray, boxes, source, targets,
+                                 thickness: int = 2) -> np.ndarray:
+    """Highlight a source/targets spatial relation on an RGB image
+    (reference ``paint_image_rel``, utils/viz.py:382-390): source object's
+    bbox in green, each target's in red. ``boxes``: mapping obj -> 
+    (x0, y0, x1, y1)."""
+    out = np.array(img, copy=True)
+
+    def rect(b, color):
+        x0, y0, x1, y1 = [float(v) for v in b]
+        _draw_line(out, (x0, y0), (x1, y0), color, thickness)
+        _draw_line(out, (x1, y0), (x1, y1), color, thickness)
+        _draw_line(out, (x1, y1), (x0, y1), color, thickness)
+        _draw_line(out, (x0, y1), (x0, y0), color, thickness)
+
+    rect(boxes[source], (0, 255, 0))
+    for t in targets:
+        rect(boxes[t], (255, 0, 0))
+    return out

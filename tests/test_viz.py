@@ -205,3 +205,14 @@ def test_coord_frame_points():
     assert np.allclose(xyz[15], [1.5, 2, 3], atol=1e-6)
     assert np.allclose(cols[0], [1, 0, 0])
     assert np.allclose(cols[-1], [0, 0, 1])
+
+
+def test_draw_relation_boxes_on_image():
+    from dropclip_tpu.viz import draw_relation_boxes_on_image
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    boxes = {1: (2, 2, 10, 10), 2: (15, 15, 25, 28)}
+    out = draw_relation_boxes_on_image(img, boxes, source=1, targets=[2])
+    assert (out[2, 6] == (0, 255, 0)).all()    # source edge green
+    assert (out[15, 20] == (255, 0, 0)).all()  # target edge red
+    assert img.sum() == 0
