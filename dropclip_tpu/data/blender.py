@@ -57,6 +57,43 @@ class BlenderDataset:
         return len(self.scene_ids)
 
     @staticmethod
+    def load_grasps(filename: str):
+        """ACRONYM-style grasp annotations from .h5 or .json (reference
+        data/blender.py:100-121): returns (transforms (G, 4, 4), success
+        flags (G,), object scale). The reference defines this but its one
+        call site is commented out (:207-208); here it is live via
+        ``load_object_grasps`` when ``grasp_root`` is set."""
+        if filename.endswith(".json"):
+            data = json.load(open(filename))
+            return (np.asarray(data["transforms"], np.float32),
+                    np.asarray(data["quality_flex_object_in_gripper"]),
+                    float(data.get("object_scale", 1.0)))
+        if filename.endswith(".h5"):
+            import h5py
+
+            with h5py.File(filename, "r") as data:
+                return (np.asarray(data["grasps/transforms"], np.float32),
+                        np.asarray(
+                            data["grasps/qualities/flex/object_in_gripper"]),
+                        float(data["object/scale"][()]))
+        raise RuntimeError(f"Unknown grasp file ending: {filename}")
+
+    def load_object_grasps(self, model_id: str):
+        """Grasps for one object model from ``grasp_root`` (the glob the
+        reference left commented, data/blender.py:207-208:
+        ``{grasp_root}/*_{model_id}_*.h5``). Returns (transforms, success,
+        scale) or None when grasp_root is unset / no file matches."""
+        if not self.grasp_root:
+            return None
+        import glob as _glob
+
+        hits = sorted(
+            _glob.glob(os.path.join(self.grasp_root, f"*_{model_id}_*.h5"))
+        ) or sorted(
+            _glob.glob(os.path.join(self.grasp_root, f"*_{model_id}_*.json")))
+        return self.load_grasps(hits[0]) if hits else None
+
+    @staticmethod
     def read_rgb(path: str) -> np.ndarray:
         import cv2
 
@@ -125,7 +162,7 @@ class BlenderDataset:
                                      "concept.json")
                 if os.path.exists(cpath):
                     concepts = json.load(open(cpath))
-            ins_dict[hex_id] = {
+            entry = {
                 "ins_id": len(ins_dict) + 1,  # 0 reserved for the table
                 "cls_name": obj_init["cls_name"],
                 "path": model_path,
@@ -136,6 +173,16 @@ class BlenderDataset:
                 "rotation": obj_final["rotation"],
                 "object_scale": obj_init.get("sim_scale"),
             }
+            # per-object ACRONYM grasps (the reference's commented-out
+            # intent, data/blender.py:205-221): non-gazebo objects carry
+            # grasps/grasp_scores when grasp_root is set
+            if self.grasp_root and obj_init.get("source") != "gazebo":
+                model_id = obj_init["path"].split("/")[-2]
+                loaded = self.load_object_grasps(model_id)
+                if loaded is not None:
+                    entry["grasps"], entry["grasp_scores"], \
+                        entry["grasp_scale"] = loaded
+            ins_dict[hex_id] = entry
 
         img_name_to_id = {x["file_name"]: x["id"] for x in annos["images"]}
         scene: Dict = {"views": {}}
@@ -170,6 +217,8 @@ class BlenderDataset:
                 "hex_id": k, "path": v["path"], "size": v["size"],
                 "pose": v["pose"], "bbox": v["bbox"],
                 "rotation": v["rotation"],
+                **{gk: v[gk] for gk in
+                   ("grasps", "grasp_scores", "grasp_scale") if gk in v},
             } for k, v in ins_dict.items()}}
         scene["queries"] = {0: "table",
                             **{v["ins_id"]: v["cls_name"]

@@ -110,3 +110,51 @@ def test_process_scene_staged_matches_unstaged(tmp_path):
     np.testing.assert_allclose(sa.xyz, sb.xyz, atol=1e-5)
     np.testing.assert_allclose(sa.obj_feats, sb.obj_feats, atol=1e-5)
     np.testing.assert_array_equal(sa.label, sb.label)
+
+
+def test_load_grasps_and_grasp_root(raw_root, tmp_path):
+    """ACRONYM grasp loading wired live (the reference defines load_grasps
+    but its call site is commented out, data/blender.py:100-121, 205-221):
+    h5 + json schemas round-trip, and objects_info carries grasps when
+    grasp_root is set."""
+    import h5py
+    import json
+
+    g = 6
+    T = np.tile(np.eye(4, dtype=np.float32), (g, 1, 1))
+    T[:, :3, 3] = np.arange(g * 3, dtype=np.float32).reshape(g, 3) * 0.01
+    ok = np.array([1, 0, 1, 1, 0, 1])
+    groot = tmp_path / "grasps"
+    groot.mkdir()
+    # model ids for the fixture's two objects (path.split('/')[-2])
+    for mid in ("bowl", "bottle"):
+        with h5py.File(groot / f"shapenet_{mid}_abc.h5", "w") as f:
+            f.create_dataset("grasps/transforms", data=T)
+            f.create_dataset("grasps/qualities/flex/object_in_gripper",
+                             data=ok)
+            f.create_dataset("object/scale", data=0.5)
+
+    # static loader: h5 and json agree
+    t1, s1, sc1 = BlenderDataset.load_grasps(
+        str(groot / "shapenet_bowl_abc.h5"))
+    jpath = tmp_path / "g.json"
+    json.dump({"transforms": T.tolist(),
+               "quality_flex_object_in_gripper": ok.tolist(),
+               "object_scale": 0.5}, open(jpath, "w"))
+    t2, s2, sc2 = BlenderDataset.load_grasps(str(jpath))
+    np.testing.assert_allclose(t1, t2, atol=1e-6)
+    np.testing.assert_array_equal(s1, s2)
+    assert sc1 == sc2 == 0.5
+
+    ds = BlenderDataset(raw_root, split="train", grasp_root=str(groot))
+    assert ds.load_object_grasps("bowl")[0].shape == (g, 4, 4)
+    assert ds.load_object_grasps("nope") is None
+    scene = ds[0]
+    infos = scene["objects_info"]
+    with_grasps = [o for o in infos.values() if "grasps" in o]
+    assert len(with_grasps) == 2
+    assert with_grasps[0]["grasps"].shape == (g, 4, 4)
+    assert with_grasps[0]["grasp_scale"] == 0.5
+    # without grasp_root nothing is attached (back-compat)
+    ds2 = BlenderDataset(raw_root, split="train")
+    assert all("grasps" not in o for o in ds2[0]["objects_info"].values())
