@@ -40,20 +40,21 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 class LayerNormF32(nn.Module):
     """LayerNorm computed in float32, result cast back to the input dtype
-    (parity with the reference's fp16-safe LayerNorm, model.py:180-187)."""
+    (parity with the reference's fp16-safe LayerNorm, model.py:180-187).
+
+    On TPU this runs as a Pallas kernel (ops/layernorm.py): XLA's own
+    residual-add+LN fusions measure ~3x the VPU floor at the ViT-L hot
+    shape and were 33% of the whole teacher forward (PERF.md)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dtype = x.dtype
-        x = x.astype(jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        from ..ops.layernorm import layer_norm
+
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return (y * scale + bias).astype(dtype)
+        return layer_norm(x, scale, bias, eps=self.epsilon)
 
 
 def _flash_attention(q, k, v, causal: bool):
