@@ -118,3 +118,79 @@ def oneshot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)[:, :t]
+
+
+def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *, t: int, tq: int,
+                   heads: int, d: int, scale: float):
+    # Same math as _kernel, but per program a GROUP of heads is sliced
+    # out of a packed (Tq, G*D) block in VMEM. Padded/garbage tail rows
+    # (the block may extend past T when 128 does not divide it) are
+    # zeroed on k/v before the matmuls: a garbage bf16 pattern can be
+    # Inf/NaN, and 0 * Inf = NaN would leak through the zero-probability
+    # columns of the PV matmul.
+    c = scale * 1.4426950408889634
+    row = jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+    keep = row < t  # (Tq, 1)
+    kk = jnp.where(keep, k_ref[0], 0).astype(q_ref.dtype)
+    vv = jnp.where(keep, v_ref[0], 0).astype(q_ref.dtype)
+    bias = jnp.where(row.reshape(1, tq) < t, 0.0, -jnp.inf)  # (1, Tk)
+    for h in range(heads):
+        q = q_ref[0, :, h * d:(h + 1) * d]
+        k = kk[:, h * d:(h + 1) * d]
+        v = vv[:, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        sm = s * c + bias
+        m = jnp.max(sm, axis=-1, keepdims=True)
+        e = jnp.exp2(sm - m)
+        den = jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(e.astype(q_ref.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, h * d:(h + 1) * d] = (o * (1.0 / den)).astype(o_ref.dtype)
+
+
+def supports_packed(t: int, heads: int, d: int, causal: bool,
+                    itemsize: int = 2, group: int = 4) -> bool:
+    """True if the packed-layout kernel handles this shape: the score
+    matrix plus a head-group's q/k/v/out blocks must fit VMEM, head count
+    divisible by the group, and D lane-tileable."""
+    tq = _round_up(t, 128)
+    need = (tq * tq * (4 + itemsize)            # scores f32 + probs
+            + 2 * 4 * tq * group * d * itemsize)  # q/k/v/o double-buffered
+    return (not causal and heads % group == 0 and d % 8 == 0
+            and group * d % 128 == 0 and need <= _VMEM_BUDGET)
+
+
+def oneshot_attention_packed(q: jnp.ndarray, k: jnp.ndarray,
+                             v: jnp.ndarray, heads: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Non-causal MHA on PACKED (B, T, H*D) q/k/v — the raw projection
+    matmul outputs. Numerically identical to ``oneshot_attention`` on the
+    reshaped views, but the (B,T,H,D)->(B*H,T,D) transposes + pads that
+    XLA materializes around the per-head kernel (measured ~150 ms of the
+    571 ms ViT-L teacher chunk, PERF.md) never exist: the grid is
+    (batch, head-group) and each program DMAs a strided (T, G*D) column
+    block directly, masking the T tail in-kernel."""
+    b, t, c = q.shape
+    d = c // heads
+    group = 4 if heads % 4 == 0 else (2 if heads % 2 == 0 else 1)
+    tq = _round_up(t, 128)
+    kern = functools.partial(_kernel_packed, t=t, tq=tq, heads=group,
+                             d=d, scale=d ** -0.5)
+    grid = (b, heads // group)
+    spec = pl.BlockSpec((1, tq, group * d), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * tq * tq * d,
+            transcendentals=b * heads * tq * tq,
+            bytes_accessed=4 * b * t * c * 2),
+        interpret=interpret,
+    )(q, k, v)
+    return out

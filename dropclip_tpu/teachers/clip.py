@@ -99,14 +99,29 @@ class MultiHeadAttention(nn.Module):
         self.out_proj = dense("out_proj")
 
     def __call__(self, x: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
+        import os
+
         b, t, d = x.shape
         hd = d // self.heads
-        q = self.q_proj(x).reshape(b, t, self.heads, hd)
-        k = self.k_proj(x).reshape(b, t, self.heads, hd)
-        v = self.v_proj(x).reshape(b, t, self.heads, hd)
+        qp, kp, vp = self.q_proj(x), self.k_proj(x), self.v_proj(x)
         if self.use_flash:
-            from ..ops.attention import oneshot_attention, supports
+            from ..ops.attention import (oneshot_attention,
+                                         oneshot_attention_packed, supports,
+                                         supports_packed)
 
+            # packed-layout one-shot kernel consumes the projection
+            # matmul outputs directly — the (B,T,H,D)->(B*H,T,D)
+            # transposes + pads XLA materializes around the per-head
+            # kernel were ~150 ms of the 571 ms ViT-L teacher chunk
+            # (PERF.md); per-head one-shot and flash remain as fallbacks
+            if (supports_packed(t, self.heads, hd, causal,
+                                itemsize=qp.dtype.itemsize)
+                    and not os.environ.get("DROPCLIP_NO_PACKED_ATTN")):
+                return self.out_proj(
+                    oneshot_attention_packed(qp, kp, vp, self.heads))
+            q = qp.reshape(b, t, self.heads, hd)
+            k = kp.reshape(b, t, self.heads, hd)
+            v = vp.reshape(b, t, self.heads, hd)
             # one-shot VMEM kernel beats both flash and XLA dpa at ViT
             # lengths (17.0 vs 13.0 / 13.6 TF/s at T=769, see PERF.md);
             # flash remains for causal (text tower) and long sequences
@@ -115,6 +130,9 @@ class MultiHeadAttention(nn.Module):
             else:
                 out = _flash_attention(q, k, v, causal)
         else:
+            q = qp.reshape(b, t, self.heads, hd)
+            k = kp.reshape(b, t, self.heads, hd)
+            v = vp.reshape(b, t, self.heads, hd)
             out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
         out = out.reshape(b, t, d)
         return self.out_proj(out)

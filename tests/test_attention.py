@@ -52,3 +52,30 @@ def test_bf16(rng):
     got = oneshot_attention(q, k, v, interpret=True)
     assert got.dtype == jnp.bfloat16
     assert np.max(np.abs(np.asarray(got - want, np.float32))) < 2e-2
+
+
+@pytest.mark.parametrize("t,heads,d", [(64, 4, 16), (100, 8, 16), (129, 4, 32)])
+def test_packed_matches_dpa(rng, t, heads, d):
+    """Packed-layout kernel == XLA attention on the reshaped views,
+    including non-128-multiple T (partial tail block, in-kernel k/v
+    masking)."""
+    from dropclip_tpu.ops.attention import oneshot_attention_packed
+
+    b, c = 2, heads * d
+    q, k, v = (jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+               for _ in range(3))
+    got = oneshot_attention_packed(q, k, v, heads, interpret=True)
+    want = jax.nn.dot_product_attention(
+        q.reshape(b, t, heads, d), k.reshape(b, t, heads, d),
+        v.reshape(b, t, heads, d)).reshape(b, t, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_supports_packed():
+    from dropclip_tpu.ops.attention import supports_packed
+
+    assert supports_packed(769, 16, 64, causal=False)      # ViT-L hot shape
+    assert not supports_packed(769, 16, 64, causal=True)
+    assert not supports_packed(4096, 16, 64, causal=False)  # VMEM blow-up
+    assert supports_packed(577, 12, 64, causal=False)       # ViT-B grid+cls
