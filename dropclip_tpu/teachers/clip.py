@@ -114,9 +114,12 @@ class MultiHeadAttention(nn.Module):
             # transposes + pads XLA materializes around the per-head
             # kernel were ~150 ms of the 571 ms ViT-L teacher chunk
             # (PERF.md); per-head one-shot and flash remain as fallbacks
+            # opt-in until Mosaic-verified on real TPU (partial tail
+            # blocks): a compile rejection here would take down every
+            # teacher path including the driver's bench
             if (supports_packed(t, self.heads, hd, causal,
                                 itemsize=qp.dtype.itemsize)
-                    and not os.environ.get("DROPCLIP_NO_PACKED_ATTN")):
+                    and bool(os.environ.get("DROPCLIP_PACKED_ATTN"))):
                 return self.out_proj(
                     oneshot_attention_packed(qp, kp, vp, self.heads))
             q = qp.reshape(b, t, self.heads, hd)
