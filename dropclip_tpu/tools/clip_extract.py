@@ -50,6 +50,9 @@ def extract_tiled(ex, image: np.ndarray, crop_size: int, tile: int,
 
 
 def main() -> None:
+    from ..core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     p = argparse.ArgumentParser("dropclip_tpu CLIP feature extraction")
     p.add_argument("--images", required=True, help="glob of image files")
     p.add_argument("--out", required=True)

@@ -20,6 +20,9 @@ import os
 
 
 def main() -> None:
+    from ..core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     p = argparse.ArgumentParser("dropclip_tpu checkpoint converter")
     p.add_argument("--torch-ckpt", required=True)
     p.add_argument("--out", required=True, help="orbax checkpoint dir")

@@ -24,6 +24,9 @@ import numpy as np
 
 
 def main() -> None:
+    from ..core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     p = argparse.ArgumentParser("dropclip_tpu DINOv2 feature extraction")
     p.add_argument("--images", required=True)
     p.add_argument("--out", required=True)

@@ -31,6 +31,9 @@ from .train_distil import make_clip_sim, to_batch
 
 
 def main() -> None:
+    from ..core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     p = argparse.ArgumentParser("dropclip_tpu visualization dumps")
     p.add_argument("--config", required=True)
     p.add_argument("--opts", nargs=argparse.REMAINDER, default=None)

@@ -477,6 +477,9 @@ def run_regrad(args) -> None:
 
 
 def main() -> None:
+    from ..core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     p = argparse.ArgumentParser("dropclip_tpu offline ingest")
     p.add_argument("-ds", "--dataset",
                    choices=["Blender", "REGRAD", "Synthetic"],

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from typing import Dict, List
 
@@ -40,6 +41,28 @@ _agg_jit = jax.jit(aggregate_views, static_argnames=(
     "voxel_size", "capacity", "num_labels", "depth_trunc", "bits"))
 _fuse_obj_jit = jax.jit(fuse_obj_prior, static_argnames=("cfg",))
 _fuse_pts_jit = jax.jit(fuse_points, static_argnames=("cfg",))
+
+
+def _dump_query_viz(viz_dir: str, scene_id: str, text: str, xyz, rgb,
+                    sel, pred, sims, gt) -> None:
+    """Heatmap | gt | thresholded-prediction panels per query (the
+    reference's viz_clip_pred_gt debug hook, scripts/run_eval.py:28-41,
+    as a .pcd dump)."""
+    import re
+
+    from ..viz import export_clip_pred
+
+    p = np.asarray(xyz)[sel]
+    s = np.asarray(sims, np.float32)[sel]
+    rng = s.max() - s.min()
+    slug = re.sub(r"[^a-z0-9]+", "_", text.lower())[:40]
+    export_clip_pred(
+        os.path.join(viz_dir, f"{scene_id}_{slug}.pcd"), p,
+        np.asarray(pred, bool)[sel],
+        (s - s.min()) / (rng if rng > 0 else 1.0),
+        background=np.clip(np.asarray(rgb)[sel], 0, 1),
+        gt=np.asarray(gt, np.float32)[sel],
+        trans_factor=float(np.ptp(p[:, 0]) * 1.2 + 1e-3) if len(p) else 1.0)
 
 
 def eval_scene(raw: Dict, extractor, args) -> Dict[str, float]:
@@ -120,11 +143,15 @@ def eval_scene(raw: Dict, extractor, args) -> Dict[str, float]:
                 raise ValueError(args.sim_negatives)
             pos = l2_normalize(extractor.encode_text([text])[0])
             negs = l2_normalize(negs) if negs is not None else None
-            pred, _ = predict_from_embeddings(
+            pred, sims = predict_from_embeddings(
                 point_feats, pos, negs, mask=sel_pts,
                 method=args.sim_method, threshold=args.sim_thr)
             preds.append(np.asarray(pred))
             gts.append((labels_np == obj_id) & np.asarray(sel_pts))
+            if getattr(args, "viz_dir", None):
+                _dump_query_viz(args.viz_dir, str(raw.get("scene_id", "s")),
+                                text, xyz, rgb, np.asarray(sel_pts),
+                                preds[-1], np.asarray(sims), gts[-1])
     if not preds:
         return {}
     miou, prs = grounding_metrics(jnp.asarray(np.stack(preds), jnp.float32),
@@ -135,6 +162,9 @@ def eval_scene(raw: Dict, extractor, args) -> Dict[str, float]:
 
 
 def main() -> None:
+    from ..core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     p = argparse.ArgumentParser("dropclip_tpu fusion ablation eval")
     p.add_argument("-ds", "--dataset", choices=["Blender", "Synthetic"],
                    default="Synthetic")
@@ -167,6 +197,7 @@ def main() -> None:
     p.add_argument("--clip-checkpoint", default=None)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--save-results", default=None)
+    p.add_argument("--viz-dir", default=None, help="dump per-query heatmap|gt|pred .pcd panels (reference viz_clip_pred_gt)")
     args = p.parse_args()
 
     extractor = build_extractor(args)
@@ -204,6 +235,7 @@ def main() -> None:
 
     results = []
     for i, raw in enumerate(scenes):
+        raw.setdefault("scene_id", f"{i:04d}")
         t0 = time.time()
         res = eval_scene(raw, extractor, args)
         print(f"scene {i}: {res} ({time.time()-t0:.1f}s)")

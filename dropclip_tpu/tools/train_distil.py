@@ -98,6 +98,9 @@ def make_clip_sim(cfg):
 
 
 def main() -> None:
+    from ..core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     cfg = get_parser()
     # multi-host rendezvous (reference dist_url/world_size/rank plumbing,
     # config/DistilBlender.yaml:81-86) — no-op unless dist_coordinator set

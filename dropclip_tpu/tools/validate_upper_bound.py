@@ -14,6 +14,9 @@ import sys
 
 
 def main() -> None:
+    from ..core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     if "--opts" in sys.argv:
         i = sys.argv.index("--opts")
         sys.argv = (sys.argv[: i + 1] + ["eval_upper_bound", "True"]
