@@ -134,6 +134,7 @@ def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *, t: int, tq: int,
     kk = jnp.where(keep, k_ref[0], 0).astype(q_ref.dtype)
     vv = jnp.where(keep, v_ref[0], 0).astype(q_ref.dtype)
     bias = jnp.where(row.reshape(1, tq) < t, 0.0, -jnp.inf)  # (1, Tk)
+    outs = []
     for h in range(heads):
         q = q_ref[0, :, h * d:(h + 1) * d]
         k = kk[:, h * d:(h + 1) * d]
@@ -147,7 +148,12 @@ def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *, t: int, tq: int,
         o = jax.lax.dot_general(e.astype(q_ref.dtype), v,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        o_ref[0, :, h * d:(h + 1) * d] = (o * (1.0 / den)).astype(o_ref.dtype)
+        outs.append((o * (1.0 / den)).astype(o_ref.dtype))
+    # one full-block store: per-head 64-lane column stores would be
+    # partial-tile writes, the Mosaic clobber class documented in PERF.md
+    # (equal-width concat is safe; the misplacement bug there was
+    # mixed-width blocks)
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
 def supports_packed(t: int, heads: int, d: int, causal: bool,
