@@ -13,12 +13,30 @@ TPU-first differences:
 - randomness is an explicit per-(seed, epoch, index) np.random.Generator
   (deterministic resume; the reference uses process-global RNG);
 - the collate produces the distill engine's DistilBatch arrays directly.
+
+``use_view_clip`` (reference dataset_blender.py:52-71, 133-171, 327-328):
+per-point CLIP *patch* features of the sample's own view, appended to the
+student input features (after rgb). The reference arm is latent-broken in
+two ways we fix rather than reproduce: (a) ``view_feat`` is computed on
+the full cloud and never subset by the visibility/downsample indices, so
+the later concat (reference :384) shape-errors on any real config — here
+it is computed after the downsample (identical per-point values: world-
+frame coords, pre-center-shift) at a static MAX_POINTS shape; (b) the
+reference DisNet never widens ``in_channels`` for the extra features
+(disnet.py:29-31) — our flax students infer input width, so no model
+change is needed. Instead of materializing the bicubic-upsampled
+(H, W, C) map per view (reference :152-160), the interpolant is sampled
+at the projected pixels only (ops.resize.bicubic_sample_at — exact).
+Patch maps are LRU-cached per (scene, view); the reference re-runs the
+ViT on every __getitem__.
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
+from collections import OrderedDict
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -57,6 +75,27 @@ class MVTODDataset:
                 self.data = [(f, i) for f in h5f_list for i in ids]
         else:
             self.data = [(f, -1) for f in h5f_list]
+
+        self.use_view_clip = bool(cfg.use_view_clip)
+        if self.use_view_clip:
+            # raw tree with the view pngs + cameras json; the reference
+            # reads them from the processed root itself (dataset_blender.py
+            # :140-144 — its processed h5 sits inside the raw scene dirs)
+            self.raw_root = cfg.raw_root or self.root
+            # reference :67-71 hardcodes the UNSCALED blender intrinsics
+            # here (ignoring base_scale, unlike the raw reader) — kept as
+            # the default, overridable for non-640x480 trees
+            fx, fy, cx, cy = (cfg.view_clip_intrinsics
+                              or (444.44444444, 444.44444444, 319.5, 239.5))
+            self._vc_K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]],
+                                  np.float64)
+            self._vc_hw = tuple(cfg.view_clip_hw or (480, 640))
+            self._vc_cache: "OrderedDict[Tuple[str, int], np.ndarray]" = \
+                OrderedDict()
+            self._vc_cache_cap = int(cfg.view_clip_cache_views or 64)
+            self._vc_extractor = None
+            self._vc_sample = None
+            self._vc_poses: Dict[str, List[np.ndarray]] = {}
 
         self.use_augm = bool(cfg.use_augmentation) and split == "train"
         if self.use_augm:
@@ -118,6 +157,103 @@ class MVTODDataset:
         R = mats[2] @ mats[1] @ mats[0]
         return xyz @ R.T
 
+    # ---- use_view_clip helpers (reference dataset_blender.py:133-171) ----
+
+    def _vc_scene_dir(self, scene_id: str) -> str:
+        for d in (os.path.join(self.raw_root, self.split, scene_id),
+                  os.path.join(self.raw_root, scene_id)):
+            if os.path.isdir(d):
+                return d
+        raise FileNotFoundError(
+            f"use_view_clip: no raw scene dir for {scene_id!r} under "
+            f"{self.raw_root!r} (set cfg.raw_root to the raw MV-TOD tree)")
+
+    def _vc_get_extractor(self):
+        if self._vc_extractor is None:
+            import jax
+            import jax.numpy as jnp
+
+            from ..ops.resize import bicubic_sample_at
+            from ..teachers.clip import build_clip
+            from ..teachers.extractor import ClipExtractor
+
+            name = self.cfg.view_clip_model or "ViT-L/14@336px"
+            model = build_clip(name, dtype=jnp.bfloat16)
+            resize = tuple(self.cfg.view_clip_resize or (336, 448))
+            if self.cfg.clip_checkpoint:
+                from ..teachers.convert import load_params
+
+                variables = {"params": load_params(self.cfg.clip_checkpoint)}
+            else:
+                print("WARNING: use_view_clip without clip_checkpoint; "
+                      "RANDOM teacher weights (smoke mode)")
+                px = jnp.zeros((1,) + resize + (3,), jnp.float32)
+                toks = jnp.zeros((1, 77), jnp.int32)
+                variables = jax.jit(lambda p, t: model.init(
+                    jax.random.PRNGKey(0), p, t))(px, toks)
+            self._vc_extractor = ClipExtractor(
+                model, variables, mode="patch", img_resize=resize,
+                batch_size=int(self.cfg.view_clip_batch or 12))
+            h, w = self._vc_hw
+            self._vc_sample = jax.jit(
+                lambda src, px_, py_: bicubic_sample_at(src, (h, w), px_, py_))
+        return self._vc_extractor
+
+    def _vc_patch_map(self, scene_id: str, view_id: int) -> np.ndarray:
+        """(ph, pw, C) patch features of one view, LRU-cached."""
+        key = (scene_id, view_id)
+        if key in self._vc_cache:
+            self._vc_cache.move_to_end(key)
+            return self._vc_cache[key]
+        from .blender import BlenderDataset
+
+        ex = self._vc_get_extractor()
+        d = self._vc_scene_dir(scene_id)
+        rgbs = sorted(glob.glob(f"{d}/image.{scene_id}.rgb.*.png"))
+        img = BlenderDataset.read_rgb(rgbs[view_id])
+        pf = np.asarray(ex.extract(img[None])[0], np.float32)
+        self._vc_cache[key] = pf
+        while len(self._vc_cache) > self._vc_cache_cap:
+            self._vc_cache.popitem(last=False)
+        return pf
+
+    def _vc_pose(self, scene_id: str, view_id: int) -> np.ndarray:
+        if scene_id not in self._vc_poses:
+            d = self._vc_scene_dir(scene_id)
+            cams = json.load(open(f"{d}/cameras.{scene_id}.json"))
+            self._vc_poses[scene_id] = [
+                np.asarray(cams[k]["world_matrix"], np.float64)
+                for k in sorted(cams)]
+        return self._vc_poses[scene_id][view_id]
+
+    def _view_clip_features(self, xyz_world: np.ndarray, scene_id: str,
+                            view_id: int) -> np.ndarray:
+        """Per-point view CLIP features (N, C) — reference
+        generate_view_clip (:133-171): world->cam via the view pose,
+        blender y/z flip, pinhole projection with int truncation (z==0 ->
+        pixel (0, 0)), coords clipped to bounds (out-of-view points get
+        edge features — reference quirk, kept), bicubic patch-map sample
+        at the integer pixels."""
+        pose = self._vc_pose(scene_id, view_id)
+        pts = np.concatenate(
+            [xyz_world, np.ones((len(xyz_world), 1))], axis=1)
+        cam = (np.linalg.inv(pose) @ pts.T).T[:, :3]
+        cam[:, 1] *= -1.0
+        cam[:, 2] *= -1.0
+        uvw = (self._vc_K @ cam.T).T
+        z = uvw[:, 2]
+        px = np.zeros(len(cam), np.int64)
+        py = np.zeros(len(cam), np.int64)
+        nz = z != 0
+        px[nz] = (uvw[nz, 0] / z[nz]).astype(np.int64)
+        py[nz] = (uvw[nz, 1] / z[nz]).astype(np.int64)
+        h, w = self._vc_hw
+        px = np.clip(px, 0, w - 1)
+        py = np.clip(py, 0, h - 1)
+        pf = self._vc_patch_map(scene_id, view_id)
+        return np.asarray(self._vc_sample(pf, px.astype(np.int32),
+                                          py.astype(np.int32)), np.float32)
+
     def __getitem__(self, index: int) -> Dict:
         path, view_id = self.data[index]
         scene_id = os.path.basename(os.path.dirname(path)) or \
@@ -153,15 +289,31 @@ class MVTODDataset:
         idx = rng.choice(n, MAX_POINTS, replace=n < MAX_POINTS)
         xyz, rgb, label, feat = xyz[idx], rgb[idx], label[idx], feat[idx]
 
+        view_feat = None
+        if self.use_view_clip:
+            # single-view samples only: the feature is "what THIS view's
+            # CLIP sees at each point" (k-view unions have no single view;
+            # the reference would format view-1 and crash, :140-144)
+            if view_id < 0:
+                raise ValueError(
+                    "use_view_clip requires explicit single views "
+                    "(use_view_ids with use_k_views <= 1)")
+            # world-frame coords, pre-center-shift — same per-point values
+            # as the reference's pre-subsample computation (:327-328)
+            view_feat = self._view_clip_features(xyz, scene_id, view_id)
+
         xyz = xyz - xyz.mean(0)
         if self.use_augm:
             if self.cfg.aug_random_shift:
                 xyz = xyz + rng.uniform(xyz.min(0), xyz.max(0)) / 2
             if self.cfg.aug_random_rotation:
                 xyz = self._random_rotation(xyz, rng)
-            cat = np.concatenate([rgb, feat], axis=-1)
+            parts = [rgb, feat] if view_feat is None else [rgb, feat, view_feat]
+            cat = np.concatenate(parts, axis=-1)
             xyz, cat, label = self.coord_transforms(xyz, cat, label, rng)
             rgb, feat = cat[:, :3], cat[:, 3:3 + feat_dim]
+            if view_feat is not None:
+                view_feat = cat[:, 3 + feat_dim:]
             if self.color_transforms is not None:
                 rgb8 = (255 * rgb).astype(np.uint8).astype(np.float32)
                 xyz, rgb8, label = self.color_transforms(xyz, rgb8, label, rng)
@@ -173,6 +325,12 @@ class MVTODDataset:
         in_parts = [xyz[rep].astype(np.float32)]
         if self.use_color:
             in_parts.append(rgb[rep].astype(np.float32))
+        if view_feat is not None:
+            # input ordering matches the reference's cat_features
+            # [xyz, rgb, view_feat] (:400-404); flax students infer the
+            # widened in_channels (the reference DisNet does not — latent
+            # bug, disnet.py:29-31)
+            in_parts.append(view_feat[rep].astype(np.float32))
         in_feats = np.concatenate(in_parts, axis=-1) * vox.mask[:, None]
         targets = feat[rep].astype(np.float32) * vox.mask[:, None]
 

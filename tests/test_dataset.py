@@ -194,3 +194,115 @@ def test_raw_scene_consistency(rng):
     assert raw["labels"].max() == 3
     # rendered depth at a projected pixel matches the point depth somewhere
     assert (raw["depths"] < 9.0).sum() > 50
+
+
+# ---- use_view_clip (reference dataset_blender.py:52-71, 133-171) ----
+
+VC_HW = (48, 64)
+
+
+def _write_vc_raw(raw_root, scene_ids, n_views=4, seed=3):
+    """Tiny raw tree (rgb pngs + cameras json) matching processed ids."""
+    import json
+    import os
+
+    import cv2
+
+    from dropclip_tpu.data.synthetic import make_camera_ring
+
+    r = np.random.default_rng(seed)
+    poses = make_camera_ring(n_views)
+    for sid in scene_ids:
+        d = os.path.join(raw_root, "train", sid)
+        os.makedirs(d, exist_ok=True)
+        cams = {}
+        for v in range(n_views):
+            img = r.integers(0, 255, VC_HW + (3,), np.uint8)
+            cv2.imwrite(os.path.join(d, f"image.{sid}.rgb.{v:04d}.png"),
+                        img[:, :, ::-1])
+            cams[f"{v:04d}"] = {"world_matrix": poses[v].tolist()}
+        json.dump(cams, open(os.path.join(d, f"cameras.{sid}.json"), "w"))
+
+
+def _vc_cfg(fake_root, raw_root, **kw):
+    return make_cfg(root_dir=fake_root, use_k_views=0, use_view_ids="1",
+                    use_view_clip=True, raw_root=raw_root,
+                    view_clip_model="tiny-test", view_clip_resize=(32, 32),
+                    view_clip_hw=VC_HW,
+                    view_clip_intrinsics=(50.0, 50.0, 31.5, 23.5), **kw)
+
+
+@pytest.fixture(scope="module")
+def vc_raw(fake_root, tmp_path_factory):
+    raw_root = str(tmp_path_factory.mktemp("vc_raw"))
+    ids = sorted(s for s in __import__("os").listdir(
+        __import__("os").path.join(fake_root, "train")))
+    _write_vc_raw(raw_root, ids)
+    return raw_root
+
+
+def test_view_clip_item_layout_and_cache(fake_root, vc_raw):
+    ds = MVTODDataset(_vc_cfg(fake_root, vc_raw), "train")
+    item = ds[0]
+    # input = xyz(3) + rgb(3) + view CLIP(16, tiny-test embed_dim)
+    assert item["in_feats"].shape[-1] == 3 + 3 + 16
+    assert np.isfinite(item["in_feats"]).all()
+    assert np.all(item["in_feats"][~item["mask"]] == 0)
+    # targets still the fused per-obj features, untouched
+    assert item["targets"].shape[-1] == 16
+    ds[0]
+    assert len(ds._vc_cache) == 1  # patch map LRU hit on the repeat
+
+
+def test_view_clip_sampling_oracle(fake_root, vc_raw):
+    """_view_clip_features == project+clip, then index the MATERIALIZED
+    bicubic-upsampled patch map (the reference's computation, :152-170)."""
+    from dropclip_tpu.data.synthetic import make_camera_ring
+    from dropclip_tpu.ops.resize import bicubic_resize
+
+    ds = MVTODDataset(_vc_cfg(fake_root, vc_raw), "train")
+    sid = sorted(__import__("os").listdir(
+        __import__("os").path.join(fake_root, "train")))[0]
+    r = np.random.default_rng(1)
+    xyz = r.normal(size=(200, 3)).astype(np.float64) * 0.4
+    got = ds._view_clip_features(xyz, sid, 1)
+
+    pose = make_camera_ring(4)[1].astype(np.float64)
+    cam = (np.linalg.inv(pose) @ np.concatenate(
+        [xyz, np.ones((200, 1))], 1).T).T[:, :3]
+    cam[:, 1:] *= -1.0
+    K = np.array([[50.0, 0, 31.5], [0, 50.0, 23.5], [0, 0, 1]])
+    uvw = (K @ cam.T).T
+    z = uvw[:, 2]
+    px = np.zeros(200, np.int64)
+    py = np.zeros(200, np.int64)
+    px[z != 0] = (uvw[z != 0, 0] / z[z != 0]).astype(np.int64)
+    py[z != 0] = (uvw[z != 0, 1] / z[z != 0]).astype(np.int64)
+    px, py = np.clip(px, 0, 63), np.clip(py, 0, 47)
+    pf = ds._vc_patch_map(sid, 1)
+    full = np.asarray(bicubic_resize(pf, VC_HW))          # (48, 64, 16)
+    want = full[py, px]
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_view_clip_alignment_through_getitem(fake_root, vc_raw, monkeypatch):
+    """Per-point alignment: with view_feat := world xyz, (view_feat -
+    centered xyz) must be the SAME constant (the centroid) on every
+    occupied voxel row."""
+    ds = MVTODDataset(_vc_cfg(fake_root, vc_raw), "train")
+    monkeypatch.setattr(
+        ds, "_view_clip_features",
+        lambda xyz, sid, vid: xyz.astype(np.float32).copy())
+    item = ds[0]
+    occ = item["in_feats"][item["mask"]]
+    delta = occ[:, 6:9] - occ[:, :3]
+    assert np.allclose(delta, delta[0], atol=1e-5)
+
+
+def test_view_clip_requires_single_views(fake_root, vc_raw):
+    cfg = _vc_cfg(fake_root, vc_raw)
+    cfg["use_k_views"] = 3
+    cfg["use_view_ids"] = None
+    ds = MVTODDataset(cfg, "train")
+    with pytest.raises(ValueError, match="use_view_clip"):
+        ds[0]
