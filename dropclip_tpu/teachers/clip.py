@@ -1,8 +1,10 @@
-"""CLIP (ViT vision tower + text transformer) as flax modules, TPU-first.
+"""CLIP (ViT + RN vision towers, text transformer) as flax modules, TPU-first.
 
 Fresh implementation of the architecture the reference vendors
-(reference models/features/clip/model.py:180-440), with the two extensions
-the DROP-CLIP pipeline depends on:
+(reference models/features/clip/model.py:12-440 — a tuple ``vision_layers``
+selects the ModifiedResNet tower with attention pooling, an int the ViT,
+same dispatch as build_model :469-483), with the two extensions the
+DROP-CLIP pipeline depends on:
 
 - **MaskCLIP patch mode** (`patch_output=True`): run all but the last
   transformer block, then apply only the *value path* of the last block —
@@ -242,6 +244,181 @@ class CLIPVisionTransformer(nn.Module):
         return x @ self.proj.astype(x.dtype)
 
 
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm2d with running stats held as plain params
+    (the CLIP teachers are frozen — reference never trains them — so the
+    torch train/eval moment machinery collapses to an affine transform).
+    Computed in float32 like LayerNormF32."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.param("mean", nn.initializers.zeros, (c,))
+        var = self.param("var", nn.initializers.ones, (c,))
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class BottleneckRN(nn.Module):
+    """CLIP's anti-aliased ResNet bottleneck: all convs stride 1, an
+    avgpool after conv2 when stride > 1, and the downsample branch
+    prepended with an avgpool (reference model.py:12-57)."""
+
+    planes: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inplanes = x.shape[-1]
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding=((k // 2, k // 2),) * 2, use_bias=False,
+            dtype=self.dtype, name=name)
+        y = jax.nn.relu(FrozenBatchNorm(name="bn1")(
+            conv(self.planes, 1, "conv1")(x)))
+        y = jax.nn.relu(FrozenBatchNorm(name="bn2")(
+            conv(self.planes, 3, "conv2")(y)))
+        if self.stride > 1:
+            y = nn.avg_pool(y, (self.stride,) * 2, strides=(self.stride,) * 2)
+        y = FrozenBatchNorm(name="bn3")(conv(self.planes * 4, 1, "conv3")(y))
+        if self.stride > 1 or inplanes != self.planes * 4:
+            idn = (nn.avg_pool(x, (self.stride,) * 2,
+                               strides=(self.stride,) * 2)
+                   if self.stride > 1 else x)
+            idn = FrozenBatchNorm(name="downsample_bn")(
+                conv(self.planes * 4, 1, "downsample_conv")(idn))
+        else:
+            idn = x
+        return jax.nn.relu(y + idn)
+
+
+class AttentionPool2d(nn.Module):
+    """QKV attention pool: query = mean token, plus the MaskCLIP value
+    path ``forward_v`` for dense per-patch features (reference
+    model.py:60-114)."""
+
+    spacial_dim: int
+    embed_dim: int
+    heads: int
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(self.embed_dim ** -0.5),
+            (self.spacial_dim ** 2 + 1, self.embed_dim))
+        dense = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)
+        self.q_proj = dense(self.embed_dim, "q_proj")
+        self.k_proj = dense(self.embed_dim, "k_proj")
+        self.v_proj = dense(self.embed_dim, "v_proj")
+        self.c_proj = dense(self.output_dim, "c_proj")
+
+    def _tokens(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        t = x.reshape(b, h * w, c)
+        return jnp.concatenate([t.mean(axis=1, keepdims=True), t], axis=1)
+
+    def _pos_embed(self, gh: int, gw: int) -> jnp.ndarray:
+        """Bicubic pos-embed resampling for forward_v, DINO +0.1 trick
+        (reference interpolate.py:5-54 with patch_size=1). NOTE: the
+        reference call site unpacks NCHW as ``_, _, w, h`` (model.py:101-104)
+        so its non-square grids come out transposed; we interpolate in the
+        true (h, w) orientation (identical for square inputs — and the RN
+        forward_v path is never exercised non-square by any pipeline)."""
+        og = self.spacial_dim
+        pe = self.positional_embedding
+        if gh == og and gw == og:
+            return pe
+        resized = bicubic_resize(
+            pe[1:].reshape(og, og, self.embed_dim), (gh, gw),
+            scale_hw=((gh + 0.1) / og, (gw + 0.1) / og))
+        return jnp.concatenate(
+            [pe[:1], resized.reshape(-1, self.embed_dim)], axis=0)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, h, w, C) -> (B, output_dim) pooled features. Like the
+        reference (:72-96), the UNinterpolated embedding is added — the
+        cls path requires the training grid."""
+        b, h, w, _ = x.shape
+        if h * w != self.spacial_dim ** 2:
+            raise ValueError(
+                f"AttentionPool2d cls path needs the {self.spacial_dim}^2 "
+                f"training grid, got {h}x{w} (reference model.py:75 "
+                "shape-errors identically); use patch_output for other sizes")
+        t = self._tokens(x) + self.positional_embedding.astype(x.dtype)
+        hd = self.embed_dim // self.heads
+        q = self.q_proj(t[:, :1]).reshape(b, 1, self.heads, hd)
+        k = self.k_proj(t).reshape(b, -1, self.heads, hd)
+        v = self.v_proj(t).reshape(b, -1, self.heads, hd)
+        out = jax.nn.dot_product_attention(q, k, v)
+        return self.c_proj(out.reshape(b, 1, self.embed_dim))[:, 0]
+
+    def forward_v(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, h, w, C) -> (B, hw+1, output_dim): c_proj(v_proj(tokens))
+        with the interpolated positional embedding (reference :98-114)."""
+        t = self._tokens(x)
+        t = t + self._pos_embed(x.shape[1], x.shape[2]).astype(t.dtype)
+        return self.c_proj(self.v_proj(t))
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP's RN tower: 3-conv stem with avgpool, anti-aliased strided
+    bottlenecks, attention pooling; ``patch_output`` returns the MaskCLIP
+    value-path per-patch features (reference model.py:117-180)."""
+
+    layers: Tuple[int, ...]
+    output_dim: int
+    heads: int
+    input_resolution: int
+    width: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        w = self.width
+        conv3 = lambda f, s, name: nn.Conv(
+            f, (3, 3), strides=s, padding=((1, 1), (1, 1)), use_bias=False,
+            dtype=self.dtype, name=name)
+        self.conv1 = conv3(w // 2, 2, "conv1")
+        self.bn1 = FrozenBatchNorm(name="bn1")
+        self.conv2 = conv3(w // 2, 1, "conv2")
+        self.bn2 = FrozenBatchNorm(name="bn2")
+        self.conv3 = conv3(w, 1, "conv3")
+        self.bn3 = FrozenBatchNorm(name="bn3")
+        blocks = []
+        for j, (planes, n) in enumerate(
+                zip((w, w * 2, w * 4, w * 8), self.layers)):
+            stage = []
+            for i in range(n):
+                stride = 2 if (i == 0 and j > 0) else 1
+                stage.append(BottleneckRN(planes, stride, dtype=self.dtype,
+                                          name=f"layer{j + 1}_{i}"))
+            blocks.append(stage)
+        self.stages = blocks
+        self.attnpool = AttentionPool2d(
+            self.input_resolution // 32, w * 32, self.heads,
+            self.output_dim, dtype=self.dtype, name="attnpool")
+
+    def __call__(self, pixels: jnp.ndarray,
+                 patch_output: bool = False) -> jnp.ndarray:
+        x = pixels.astype(self.dtype)
+        x = jax.nn.relu(self.bn1(self.conv1(x)))
+        x = jax.nn.relu(self.bn2(self.conv2(x)))
+        x = jax.nn.relu(self.bn3(self.conv3(x)))
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        for stage in self.stages:
+            for blk in stage:
+                x = blk(x)
+        if patch_output:
+            # no ln_post/proj for RN — c_proj already maps to output_dim
+            return self.attnpool.forward_v(x)[:, 1:, :]
+        return self.attnpool(x)
+
+
 class CLIPTextTransformer(nn.Module):
     """Causal text tower; pooled at the EOT token = argmax token id
     (reference model.py:413-426)."""
@@ -293,11 +470,13 @@ class CLIP(nn.Module):
     """
 
     embed_dim: int
-    # vision
+    # vision: an int layer count selects the ViT tower; a tuple of 4 stage
+    # depths selects the RN tower (same dispatch as reference build_model,
+    # model.py:469-483)
     image_resolution: int
-    vision_layers: int
+    vision_layers: Any
     vision_width: int
-    vision_patch_size: int
+    vision_patch_size: int  # RN: the effective output stride (32)
     # text
     context_length: int
     vocab_size: int
@@ -309,12 +488,20 @@ class CLIP(nn.Module):
     use_flash: bool = False
 
     def setup(self):
-        self.visual = CLIPVisionTransformer(
-            width=self.vision_width, layers=self.vision_layers,
-            heads=self.vision_heads or self.vision_width // 64,
-            patch_size=self.vision_patch_size,
-            embed_dim=self.embed_dim, image_resolution=self.image_resolution,
-            dtype=self.dtype, use_flash=self.use_flash, name="visual")
+        if isinstance(self.vision_layers, (tuple, list)):
+            self.visual = ModifiedResNet(
+                layers=tuple(self.vision_layers), output_dim=self.embed_dim,
+                heads=self.vision_heads or (self.vision_width * 32 // 64),
+                input_resolution=self.image_resolution,
+                width=self.vision_width, dtype=self.dtype, name="visual")
+        else:
+            self.visual = CLIPVisionTransformer(
+                width=self.vision_width, layers=self.vision_layers,
+                heads=self.vision_heads or self.vision_width // 64,
+                patch_size=self.vision_patch_size,
+                embed_dim=self.embed_dim,
+                image_resolution=self.image_resolution,
+                dtype=self.dtype, use_flash=self.use_flash, name="visual")
         self.text = CLIPTextTransformer(
             width=self.transformer_width, layers=self.transformer_layers,
             heads=self.transformer_heads, vocab_size=self.vocab_size,
@@ -364,6 +551,34 @@ CLIP_CONFIGS = {
                            context_length=77, vocab_size=49408,
                            transformer_width=768, transformer_heads=12,
                            transformer_layers=12),
+    # RN towers (reference clip.py:29-39 _MODELS; hyperparameters as
+    # build_model infers them from the checkpoints, model.py:469-483).
+    # vision_patch_size = the effective output stride.
+    "RN50": dict(embed_dim=1024, image_resolution=224,
+                 vision_layers=(3, 4, 6, 3), vision_width=64,
+                 vision_patch_size=32, context_length=77, vocab_size=49408,
+                 transformer_width=512, transformer_heads=8,
+                 transformer_layers=12),
+    "RN101": dict(embed_dim=512, image_resolution=224,
+                  vision_layers=(3, 4, 23, 3), vision_width=64,
+                  vision_patch_size=32, context_length=77, vocab_size=49408,
+                  transformer_width=512, transformer_heads=8,
+                  transformer_layers=12),
+    "RN50x4": dict(embed_dim=640, image_resolution=288,
+                   vision_layers=(4, 6, 10, 6), vision_width=80,
+                   vision_patch_size=32, context_length=77, vocab_size=49408,
+                   transformer_width=640, transformer_heads=10,
+                   transformer_layers=12),
+    "RN50x16": dict(embed_dim=768, image_resolution=384,
+                    vision_layers=(6, 8, 18, 8), vision_width=96,
+                    vision_patch_size=32, context_length=77,
+                    vocab_size=49408, transformer_width=768,
+                    transformer_heads=12, transformer_layers=12),
+    "RN50x64": dict(embed_dim=1024, image_resolution=448,
+                    vision_layers=(3, 15, 36, 10), vision_width=128,
+                    vision_patch_size=32, context_length=77,
+                    vocab_size=49408, transformer_width=1024,
+                    transformer_heads=16, transformer_layers=12),
     # random-weights smoke config for pipeline tests (not a real teacher)
     "tiny-test": dict(embed_dim=16, image_resolution=32, vision_layers=2,
                       vision_width=64, vision_patch_size=16,

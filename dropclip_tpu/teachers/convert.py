@@ -56,23 +56,72 @@ def _openai_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     }
 
 
+def _rn_conv(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+
+
+def _rn_bn(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"]),
+            "mean": _np(sd[f"{prefix}.running_mean"]),
+            "var": _np(sd[f"{prefix}.running_var"])}
+
+
+def rn_visual_params(sd: Mapping[str, Any], prefix: str = "visual."
+                     ) -> Dict[str, Any]:
+    """torch ModifiedResNet state_dict (reference model.py:117-180) ->
+    params for teachers.clip.ModifiedResNet."""
+    visual: Dict[str, Any] = {}
+    for name in ("conv1", "conv2", "conv3"):
+        visual[name] = _rn_conv(sd, f"{prefix}{name}")
+    for name in ("bn1", "bn2", "bn3"):
+        visual[name] = _rn_bn(sd, f"{prefix}{name}")
+    for j in range(1, 5):
+        i = 0
+        while f"{prefix}layer{j}.{i}.conv1.weight" in sd:
+            p = f"{prefix}layer{j}.{i}"
+            blk: Dict[str, Any] = {}
+            for name in ("conv1", "conv2", "conv3"):
+                blk[name] = _rn_conv(sd, f"{p}.{name}")
+            for name in ("bn1", "bn2", "bn3"):
+                blk[name] = _rn_bn(sd, f"{p}.{name}")
+            if f"{p}.downsample.0.weight" in sd:
+                blk["downsample_conv"] = _rn_conv(sd, f"{p}.downsample.0")
+                blk["downsample_bn"] = _rn_bn(sd, f"{p}.downsample.1")
+            visual[f"layer{j}_{i}"] = blk
+            i += 1
+    visual["attnpool"] = {
+        "positional_embedding": _np(
+            sd[f"{prefix}attnpool.positional_embedding"]),
+        **{n: _linear(sd, f"{prefix}attnpool.{n}")
+           for n in ("q_proj", "k_proj", "v_proj", "c_proj")},
+    }
+    return visual
+
+
 def from_openai_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
-    """OpenAI CLIP state_dict -> params for teachers.clip.CLIP."""
-    n_vis = max(int(k.split(".")[3]) for k in sd
-                if k.startswith("visual.transformer.resblocks.")) + 1
+    """OpenAI CLIP state_dict -> params for teachers.clip.CLIP (ViT and
+    RN towers; dispatch mirrors build_model, reference model.py:469-483)."""
     n_txt = max(int(k.split(".")[2]) for k in sd
                 if k.startswith("transformer.resblocks.")) + 1
 
-    visual: Dict[str, Any] = {
-        "conv1": {"kernel": _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
-        "class_embedding": _np(sd["visual.class_embedding"]),
-        "positional_embedding": _np(sd["visual.positional_embedding"]),
-        "ln_pre": _ln(sd, "visual.ln_pre"),
-        "ln_post": _ln(sd, "visual.ln_post"),
-        "proj": _np(sd["visual.proj"]),
-    }
-    for i in range(n_vis):
-        visual[f"block_{i}"] = _openai_block(sd, f"visual.transformer.resblocks.{i}")
+    if "visual.attnpool.positional_embedding" in sd:
+        visual: Dict[str, Any] = rn_visual_params(sd)
+    else:
+        n_vis = max(int(k.split(".")[3]) for k in sd
+                    if k.startswith("visual.transformer.resblocks.")) + 1
+        visual = {
+            "conv1": {"kernel": _np(sd["visual.conv1.weight"]
+                                    ).transpose(2, 3, 1, 0)},
+            "class_embedding": _np(sd["visual.class_embedding"]),
+            "positional_embedding": _np(sd["visual.positional_embedding"]),
+            "ln_pre": _ln(sd, "visual.ln_pre"),
+            "ln_post": _ln(sd, "visual.ln_post"),
+            "proj": _np(sd["visual.proj"]),
+        }
+        for i in range(n_vis):
+            visual[f"block_{i}"] = _openai_block(
+                sd, f"visual.transformer.resblocks.{i}")
 
     text: Dict[str, Any] = {
         "token_embedding": {"embedding": _np(sd["token_embedding.weight"])},

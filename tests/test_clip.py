@@ -187,3 +187,74 @@ def test_bf16_policy_close_to_f32(rng, hf_model, jax_clip):
                                     method="encode_image")).astype(np.float32)
     denom = np.maximum(np.abs(f32), 1e-3)
     assert np.median(np.abs(bf16 - f32) / denom) < 0.1
+
+
+# ---- RN tower (reference model.py:12-180; never exercised by the
+# reference pipelines but part of the vendored CLIP surface) ----
+
+def test_rn_tower_matches_reference_torch():
+    """Reference-executing parity: our flax ModifiedResNet vs the
+    reference's own torch ModifiedResNet (random weights + random BN
+    running stats), cls AND MaskCLIP patch paths."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import torch
+    from ref_oracle import ref_module
+
+    from dropclip_tpu.teachers.clip import ModifiedResNet
+    from dropclip_tpu.teachers.convert import rn_visual_params
+
+    mod = ref_module("models.features.clip.model")
+    torch.manual_seed(0)
+    kw = dict(layers=(1, 1, 1, 1), output_dim=32, heads=8,
+              input_resolution=64, width=16)
+    ref = mod.ModifiedResNet(**kw).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 2.0)
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want_cls = ref(x).numpy()
+        want_patch = ref(x, patch_output=True).numpy()
+
+    params = rn_visual_params(ref.state_dict(), prefix="")
+    ours = ModifiedResNet(**kw)
+    xin = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    got_cls = np.asarray(ours.apply({"params": params}, xin))
+    got_patch = np.asarray(
+        ours.apply({"params": params}, xin, patch_output=True))
+    assert got_cls.shape == want_cls.shape
+    assert got_patch.shape == want_patch.shape
+    np.testing.assert_allclose(got_cls, want_cls, atol=3e-4)
+    np.testing.assert_allclose(got_patch, want_patch, atol=3e-4)
+
+
+def test_rn_clip_dispatch_and_nonsquare_patch(rng):
+    """A tuple vision_layers builds the RN tower inside CLIP (reference
+    build_model dispatch, model.py:469-483); patch mode interpolates the
+    attnpool pos-embed for non-square inputs."""
+    import jax
+
+    model = CLIP(embed_dim=8, image_resolution=64,
+                 vision_layers=(1, 1, 1, 1), vision_width=16,
+                 vision_patch_size=32, context_length=16, vocab_size=100,
+                 transformer_width=16, transformer_heads=2,
+                 transformer_layers=1)
+    px = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    toks = jnp.asarray(rng.randint(1, 100, (1, 8)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), px, toks)
+    cls = model.apply(variables, px, method="encode_image")
+    assert cls.shape == (1, 8)
+    patch = model.apply(variables, px, method="get_patch_encodings")
+    assert patch.shape == (1, 4, 8)  # 64/32 = 2x2 grid
+    # non-square: 2x3 grid through the interpolated pos-embed
+    px2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    patch2 = model.apply(variables, px2, method="get_patch_encodings")
+    assert patch2.shape == (1, 6, 8)
+    assert np.isfinite(np.asarray(patch2)).all()
+    # the cls path requires the training grid, like the reference (:75)
+    with pytest.raises(ValueError, match="training grid"):
+        model.apply(variables, px2, method="encode_image")
