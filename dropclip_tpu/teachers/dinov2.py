@@ -64,6 +64,9 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     use_flash: bool = False
+    # "mlp" (S/B/L) or "swiglu" (the giant uses SwiGLUFFNFused — reference
+    # dinov2_vit_extractor.py:406-416 / dino/layers/swiglu_ffn.py)
+    ffn: str = "mlp"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -75,10 +78,19 @@ class Block(nn.Module):
                           use_flash=self.use_flash,
                           name="attn")(h) * ls1.astype(x.dtype)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        h = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="fc1")(h)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(
-            self.dtype)
-        h = nn.Dense(d, dtype=self.dtype, name="fc2")(h)
+        if self.ffn == "swiglu":
+            # hidden = 8-aligned 2/3 of the MLP width (SwiGLUFFNFused)
+            hidden = (int(int(d * self.mlp_ratio) * 2 / 3) + 7) // 8 * 8
+            h12 = nn.Dense(2 * hidden, dtype=self.dtype, name="w12")(h)
+            x1, x2 = h12[..., :hidden], h12[..., hidden:]
+            h = jax.nn.silu(x1.astype(jnp.float32)).astype(self.dtype) * x2
+            h = nn.Dense(d, dtype=self.dtype, name="w3")(h)
+        else:
+            h = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype,
+                         name="fc1")(h)
+            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(
+                self.dtype)
+            h = nn.Dense(d, dtype=self.dtype, name="fc2")(h)
         return x + h * ls2.astype(x.dtype)
 
 
@@ -91,6 +103,7 @@ class DinoV2ViT(nn.Module):
     patch_size: int = 14
     image_resolution: int = 518
     mlp_ratio: float = 4.0
+    ffn: str = "mlp"  # "swiglu" for the giant (SwiGLUFFNFused)
     dtype: Any = jnp.float32
     use_flash: bool = False  # one-shot VMEM attention kernel on TPU
     # (ops/attention.py; same auto-switch as the CLIP teacher)
@@ -112,7 +125,8 @@ class DinoV2ViT(nn.Module):
         x = x + self._interp_pos(pe, gh, gw).astype(x.dtype)
         for i in range(self.layers):
             x = Block(self.heads, self.mlp_ratio, dtype=self.dtype,
-                      use_flash=self.use_flash, name=f"block_{i}")(x)
+                      use_flash=self.use_flash, ffn=self.ffn,
+                      name=f"block_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         return x[:, 0], x[:, 1:].reshape(b, gh, gw, self.width)
 
@@ -131,7 +145,7 @@ DINOV2_CONFIGS = {
     "dinov2_vits14": dict(width=384, layers=12, heads=6),
     "dinov2_vitb14": dict(width=768, layers=12, heads=12),
     "dinov2_vitl14": dict(width=1024, layers=24, heads=16),
-    "dinov2_vitg14": dict(width=1536, layers=40, heads=24),
+    "dinov2_vitg14": dict(width=1536, layers=40, heads=24, ffn="swiglu"),
     "tiny-test": dict(width=64, layers=2, heads=4, image_resolution=28),
 }
 
@@ -181,9 +195,13 @@ def from_hf_dinov2(sd: Mapping[str, Any]) -> Dict[str, Any]:
                      "key": lin(f"{p}.attention.attention.key"),
                      "value": lin(f"{p}.attention.attention.value"),
                      "out": lin(f"{p}.attention.output.dense")},
-            "fc1": lin(f"{p}.mlp.fc1"),
-            "fc2": lin(f"{p}.mlp.fc2"),
         }
+        if f"{p}.mlp.weights_in.weight" in sd:  # giant: use_swiglu_ffn
+            params[f"block_{i}"]["w12"] = lin(f"{p}.mlp.weights_in")
+            params[f"block_{i}"]["w3"] = lin(f"{p}.mlp.weights_out")
+        else:
+            params[f"block_{i}"]["fc1"] = lin(f"{p}.mlp.fc1")
+            params[f"block_{i}"]["fc2"] = lin(f"{p}.mlp.fc2")
     return params
 
 

@@ -75,3 +75,26 @@ def test_extractor_api(rng, jax_model):
     assert ex.extract(imgs).shape == (3, 64)
     with pytest.raises(ValueError):
         ex.set_mode("nope")
+
+
+def test_swiglu_matches_hf(rng):
+    """Giant-style SwiGLU FFN (use_swiglu_ffn) — HF-golden (reference
+    dino/layers/swiglu_ffn.py SwiGLUFFNFused, used by vit_giant2)."""
+    from transformers import Dinov2Config, Dinov2Model
+
+    torch.manual_seed(1)
+    m = Dinov2Model(Dinov2Config(use_swiglu_ffn=True, **CFG)).eval()
+    with torch.no_grad():
+        for layer in m.encoder.layer:
+            layer.layer_scale1.lambda1.mul_(0.7)
+            layer.layer_scale2.lambda1.mul_(1.3)
+    model = DinoV2ViT(width=64, layers=2, heads=4, patch_size=14,
+                      image_resolution=28, ffn="swiglu")
+    variables = {"params": from_hf_dinov2(m.state_dict())}
+    px = rng.randn(2, 3, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        out = m(pixel_values=torch.as_tensor(px)).last_hidden_state
+    cls, patch = model.apply(variables, jnp.asarray(px.transpose(0, 2, 3, 1)))
+    assert np.max(np.abs(np.asarray(cls) - out[:, 0].numpy())) < 1e-4
+    want_patch = out[:, 1:].numpy().reshape(2, 2, 2, 64)
+    assert np.max(np.abs(np.asarray(patch) - want_patch)) < 1e-4
