@@ -192,6 +192,7 @@ def test_bf16_policy_close_to_f32(rng, hf_model, jax_clip):
 # ---- RN tower (reference model.py:12-180; never exercised by the
 # reference pipelines but part of the vendored CLIP surface) ----
 
+@pytest.mark.slow
 def test_rn_tower_matches_reference_torch():
     """Reference-executing parity: our flax ModifiedResNet vs the
     reference's own torch ModifiedResNet (random weights + random BN

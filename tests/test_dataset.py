@@ -241,6 +241,7 @@ def vc_raw(fake_root, tmp_path_factory):
     return raw_root
 
 
+@pytest.mark.slow
 def test_view_clip_item_layout_and_cache(fake_root, vc_raw):
     ds = MVTODDataset(_vc_cfg(fake_root, vc_raw), "train")
     item = ds[0]
@@ -254,6 +255,7 @@ def test_view_clip_item_layout_and_cache(fake_root, vc_raw):
     assert len(ds._vc_cache) == 1  # patch map LRU hit on the repeat
 
 
+@pytest.mark.slow
 def test_view_clip_sampling_oracle(fake_root, vc_raw):
     """_view_clip_features == project+clip, then index the MATERIALIZED
     bicubic-upsampled patch map (the reference's computation, :152-170)."""
