@@ -446,7 +446,12 @@ def main_metrics():
         sim_negatives="scene", manual_seed=42,
         arch_3d="MinkUNet14D", feat_dim=dim, loss_type="cosine",
         planes=[8, 8, 16, 16, 16, 16, 8, 8], layers=[1] * 8, init_dim=8,
-        base_lr=1e-2, min_lr=1e-3, epochs=8 if smoke else 100,
+        # 200 epochs: +2.9 val mIoU over 100 on the fixed CPU seed
+        # (77.7 -> 80.6, 0.80 -> 0.83x the fusion upper bound; val distil
+        # loss 0.148 -> 0.091). Regularization knobs measured flat-to-
+        # negative on this tiny-synthetic loop: aug -13 pts, wd 1e-4 +0.3,
+        # dropout 0.1 -0.2, 2x width +0.5.
+        base_lr=1e-2, min_lr=1e-3, epochs=8 if smoke else 200,
         weight_decay=1e-5, max_norm=5.0, remat=False,
         brick_shape=[4, 4, 2]))
 

@@ -187,7 +187,8 @@ class MVTODDataset:
             else:
                 print("WARNING: use_view_clip without clip_checkpoint; "
                       "RANDOM teacher weights (smoke mode)")
-                px = jnp.zeros((1,) + resize + (3,), jnp.float32)
+                r = model.image_resolution
+                px = jnp.zeros((1, r, r, 3), jnp.float32)
                 toks = jnp.zeros((1, 77), jnp.int32)
                 variables = jax.jit(lambda p, t: model.init(
                     jax.random.PRNGKey(0), p, t))(px, toks)

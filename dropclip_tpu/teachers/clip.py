@@ -579,7 +579,12 @@ CLIP_CONFIGS = {
                     vision_patch_size=32, context_length=77,
                     vocab_size=49408, transformer_width=1024,
                     transformer_heads=16, transformer_layers=12),
-    # random-weights smoke config for pipeline tests (not a real teacher)
+    # random-weights smoke configs for pipeline tests (not real teachers)
+    "tiny-test-rn": dict(embed_dim=16, image_resolution=64,
+                         vision_layers=(1, 1, 1, 1), vision_width=16,
+                         vision_patch_size=32, context_length=77,
+                         vocab_size=49408, transformer_width=32,
+                         transformer_heads=4, transformer_layers=2),
     "tiny-test": dict(embed_dim=16, image_resolution=32, vision_layers=2,
                       vision_width=64, vision_patch_size=16,
                       context_length=77, vocab_size=49408,

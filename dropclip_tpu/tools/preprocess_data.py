@@ -227,7 +227,11 @@ def build_extractor(args) -> ClipExtractor:
 
         print("WARNING: no --clip-checkpoint; using RANDOM teacher weights "
               "(pipeline smoke mode)")
-        px = jnp.zeros((1, 336, 448, 3), jnp.float32)
+        # init at the model's native square resolution: param shapes don't
+        # depend on input size, and the RN attnpool cls path only accepts
+        # its training grid
+        r = model.image_resolution
+        px = jnp.zeros((1, r, r, 3), jnp.float32)
         toks = jnp.zeros((1, 77), jnp.int32)
         variables = jax.jit(lambda p, t: model.init(
             jax.random.PRNGKey(0), p, t))(px, toks)

@@ -124,3 +124,30 @@ def test_tiled_extraction(tiny, rng):
     one = extract_tiled(ex, img, crop_size=64, tile=64)
     whole = np.asarray(ex.extract(crop[None]))[0]
     assert np.allclose(one[0, 0], whole, atol=1e-5)
+
+
+def test_rn_tower_extractor_smoke(rng):
+    """The extractor framework over the RN tower (tiny-test-rn): patch
+    mode at a non-square resize (forward_v + interpolated attnpool
+    pos-embed), and obj-prior cls mode at the native square grid."""
+    from dropclip_tpu.teachers.clip import build_clip
+
+    model = build_clip("tiny-test-rn", use_flash=False)
+    r = model.image_resolution
+    px = jnp.zeros((1, r, r, 3), jnp.float32)
+    toks = jnp.zeros((1, 77), jnp.int32)
+    variables = jax.jit(lambda p, t: model.init(jax.random.PRNGKey(0), p, t))(
+        px, toks)
+
+    imgs, segs = scene(rng)
+    ex = ClipExtractor(model, variables, mode="patch", img_resize=(64, 96),
+                       batch_size=2)
+    pf = np.asarray(ex.extract(imgs))
+    assert pf.shape == (2, 2, 3, 16)  # 64/32 x 96/32 grid
+    assert np.isfinite(pf).all()
+
+    ex_cls = ClipExtractor(model, variables, mode="cls", img_resize=(r, r),
+                           batch_size=2)
+    feats, present = ex_cls.extract_obj_prior(imgs, segs, [1, 2])
+    assert np.asarray(feats).shape == (2, 2, 16)
+    assert np.isfinite(np.asarray(feats)).all()
