@@ -563,13 +563,25 @@ def main():
 
     for name, fn in modes.items():
         t0 = time.perf_counter()
-        results[name] = fn()
+        try:
+            results[name] = fn()
+        except Exception as e:  # a dead mode (e.g. wedged TPU tunnel
+            # mid-run) must not cost the driver the other modes' numbers
+            print(f"# bench mode '{name}' FAILED after "
+                  f"{time.perf_counter() - t0:.0f}s: {e!r}", flush=True)
+            if results:
+                print(combined_line(), flush=True)
+            continue
         print(f"# bench mode '{name}' done in "
               f"{time.perf_counter() - t0:.0f}s: {results[name]}", flush=True)
         # re-print the combined line after EVERY mode: if the driver's
         # budget kills a later mode, the last printed JSON line still
         # carries everything that completed (fusion runs first)
         print(combined_line(), flush=True)
+    if not results:
+        print(json.dumps({"metric": "fused_scenes_per_sec", "value": 0.0,
+                          "unit": "scenes/sec", "vs_baseline": 0.0,
+                          "error": "all bench modes failed"}), flush=True)
 
 
 if __name__ == "__main__":
