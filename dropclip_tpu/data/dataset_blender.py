@@ -96,6 +96,11 @@ class MVTODDataset:
             self._vc_extractor = None
             self._vc_sample = None
             self._vc_poses: Dict[str, List[np.ndarray]] = {}
+            # data.loader prefetches __getitem__ from a thread pool:
+            # serialize lazy init + patch-map cache fills
+            import threading
+
+            self._vc_lock = threading.Lock()
 
         self.use_augm = bool(cfg.use_augmentation) and split == "train"
         if self.use_augm:
@@ -203,20 +208,21 @@ class MVTODDataset:
     def _vc_patch_map(self, scene_id: str, view_id: int) -> np.ndarray:
         """(ph, pw, C) patch features of one view, LRU-cached."""
         key = (scene_id, view_id)
-        if key in self._vc_cache:
-            self._vc_cache.move_to_end(key)
-            return self._vc_cache[key]
-        from .blender import BlenderDataset
+        with self._vc_lock:
+            if key in self._vc_cache:
+                self._vc_cache.move_to_end(key)
+                return self._vc_cache[key]
+            from .blender import BlenderDataset
 
-        ex = self._vc_get_extractor()
-        d = self._vc_scene_dir(scene_id)
-        rgbs = sorted(glob.glob(f"{d}/image.{scene_id}.rgb.*.png"))
-        img = BlenderDataset.read_rgb(rgbs[view_id])
-        pf = np.asarray(ex.extract(img[None])[0], np.float32)
-        self._vc_cache[key] = pf
-        while len(self._vc_cache) > self._vc_cache_cap:
-            self._vc_cache.popitem(last=False)
-        return pf
+            ex = self._vc_get_extractor()
+            d = self._vc_scene_dir(scene_id)
+            rgbs = sorted(glob.glob(f"{d}/image.{scene_id}.rgb.*.png"))
+            img = BlenderDataset.read_rgb(rgbs[view_id])
+            pf = np.asarray(ex.extract(img[None])[0], np.float32)
+            self._vc_cache[key] = pf
+            while len(self._vc_cache) > self._vc_cache_cap:
+                self._vc_cache.popitem(last=False)
+            return pf
 
     def _vc_pose(self, scene_id: str, view_id: int) -> np.ndarray:
         if scene_id not in self._vc_poses:
