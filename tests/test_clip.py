@@ -233,6 +233,7 @@ def test_rn_tower_matches_reference_torch():
     np.testing.assert_allclose(got_patch, want_patch, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_rn_clip_dispatch_and_nonsquare_patch(rng):
     """A tuple vision_layers builds the RN tower inside CLIP (reference
     build_model dispatch, model.py:469-483); patch mode interpolates the

@@ -126,6 +126,7 @@ def test_tiled_extraction(tiny, rng):
     assert np.allclose(one[0, 0], whole, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rn_tower_extractor_smoke(rng):
     """The extractor framework over the RN tower (tiny-test-rn): patch
     mode at a non-square resize (forward_v + interpolated attnpool
