@@ -450,7 +450,8 @@ def main_metrics():
         # (77.7 -> 80.6, 0.80 -> 0.83x the fusion upper bound; val distil
         # loss 0.148 -> 0.091). Regularization knobs measured flat-to-
         # negative on this tiny-synthetic loop: aug -13 pts, wd 1e-4 +0.3,
-        # dropout 0.1 -0.2, 2x width +0.5.
+        # dropout 0.1 -0.2, 2x width +0.5 (and 2x width at 200 epochs
+        # -1.6 mIoU / +12.5 Pr@75 — width trades the headline for tails).
         base_lr=1e-2, min_lr=1e-3, epochs=8 if smoke else 200,
         weight_decay=1e-5, max_norm=5.0, remat=False,
         brick_shape=[4, 4, 2]))
