@@ -260,3 +260,57 @@ def test_rn_clip_dispatch_and_nonsquare_patch(rng):
     # the cls path requires the training grid, like the reference (:75)
     with pytest.raises(ValueError, match="training grid"):
         model.apply(variables, px2, method="encode_image")
+
+
+@pytest.mark.slow
+def test_rn_full_model_converter_parity():
+    """Full-model reference-executing parity through the OpenAI-layout
+    converter's RN branch: reference CLIP (RN visual + text) state_dict ->
+    from_openai_state_dict -> our CLIP; encode_image, encode_text and the
+    contrastive logits must match (reference model.py:304-443,469-483)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import torch
+    from ref_oracle import ref_module
+
+    import jax
+
+    from dropclip_tpu.teachers.clip import CLIP as OurCLIP
+    from dropclip_tpu.teachers.convert import from_openai_state_dict
+
+    mod = ref_module("models.features.clip.model")
+    torch.manual_seed(0)
+    kw = dict(embed_dim=32, image_resolution=64, vision_layers=(1, 1, 1, 1),
+              vision_width=16, vision_patch_size=32, context_length=77,
+              vocab_size=49408, transformer_width=32, transformer_heads=4,
+              transformer_layers=2)
+    ref = mod.CLIP(**kw).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 2.0)
+
+    params = from_openai_state_dict(ref.state_dict())
+    ours = OurCLIP(**kw)
+
+    rng = np.random.RandomState(0)
+    px = rng.rand(2, 3, 64, 64).astype(np.float32)
+    toks = rng.randint(1, 1000, (2, 77)).astype(np.int64)
+    toks[:, 10] = 49407  # EOT = argmax pooling position
+    with torch.no_grad():
+        want_img = ref.encode_image(torch.as_tensor(px)).numpy()
+        want_txt = ref.encode_text(torch.as_tensor(toks)).numpy()
+        want_li, _ = ref(torch.as_tensor(px), torch.as_tensor(toks))
+        want_li = want_li.numpy()
+
+    variables = {"params": params}
+    xin = jnp.asarray(px.transpose(0, 2, 3, 1))
+    tin = jnp.asarray(toks.astype(np.int32))
+    got_img = np.asarray(ours.apply(variables, xin, method="encode_image"))
+    got_txt = np.asarray(ours.apply(variables, tin, method="encode_text"))
+    got_li, _ = ours.apply(variables, xin, tin)
+    np.testing.assert_allclose(got_img, want_img, atol=3e-4)
+    np.testing.assert_allclose(got_txt, want_txt, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_li), want_li, atol=2e-3)
