@@ -185,10 +185,12 @@ class MVTODDataset:
             name = self.cfg.view_clip_model or "ViT-L/14@336px"
             model = build_clip(name, dtype=jnp.bfloat16)
             resize = tuple(self.cfg.view_clip_resize or (336, 448))
-            if self.cfg.clip_checkpoint:
+            ckpt = self.cfg.clip_checkpoint
+            if ckpt and ckpt != "random":  # "random" = the framework-wide
+                # random-weights convention (tools/train_distil.py:86)
                 from ..teachers.convert import load_params
 
-                variables = {"params": load_params(self.cfg.clip_checkpoint)}
+                variables = {"params": load_params(ckpt)}
             else:
                 print("WARNING: use_view_clip without clip_checkpoint; "
                       "RANDOM teacher weights (smoke mode)")

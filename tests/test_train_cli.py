@@ -71,3 +71,86 @@ TRAIN:
         "train_distil", "--config", cfg_path, "--opts",
         "resume", run_dir, "epochs", "3"])
     train_distil.main()
+
+
+@pytest.mark.slow
+def test_train_cli_with_view_clip(tmp_path, monkeypatch):
+    """Trainer e2e with use_view_clip: single-view CLIP patch input
+    features flow through the THREADED loader (lock-guarded extractor/
+    cache) into the widened-input student (reference dataset_blender.py
+    :52-71 arm, working version)."""
+    import json
+
+    import cv2
+
+    from dropclip_tpu.data.synthetic import (make_camera_ring,
+                                             write_fake_processed_dataset)
+    from dropclip_tpu.tools import train_distil
+
+    root = str(tmp_path / "data")
+    write_fake_processed_dataset(root, n_scenes=4, splits=("train", "test"),
+                                 n_objects=2, feat_dim=16, n_views=4)
+    # matching raw tree: view pngs + cameras json per processed scene id
+    rng = np.random.default_rng(5)
+    poses = make_camera_ring(4)
+    for split in ("train", "test"):
+        for sid in sorted(os.listdir(os.path.join(root, split))):
+            d = os.path.join(root, split, sid)
+            cams = {}
+            for v in range(4):
+                img = rng.integers(0, 255, (48, 64, 3), np.uint8)
+                cv2.imwrite(os.path.join(d, f"image.{sid}.rgb.{v:04d}.png"),
+                            img[:, :, ::-1])
+                cams[f"{v:04d}"] = {"world_matrix": poses[v].tolist()}
+            json.dump(cams, open(os.path.join(d, f"cameras.{sid}.json"), "w"))
+
+    save_root = str(tmp_path / "exp")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+DATA:
+  dataset: DistilBlender
+  root_dir: {root}
+  use_full_pc: False
+  use_k_views: 0
+  use_view_ids: "1"
+  use_view_clip: True
+  view_clip_model: tiny-test
+  view_clip_resize: [32, 32]
+  view_clip_hw: [48, 64]
+  view_clip_intrinsics: [50.0, 50.0, 31.5, 23.5]
+  use_color: True
+  voxel_size: 0.02
+  voxel_capacity: 256
+  evaluate: True
+  batch_size: 8
+  batch_size_val: 8
+  workers: 2
+  workers_val: 1
+MODEL:
+  arch_3d: tiny
+  feat_dim: 16
+  sparse_backend: bricks
+  brick_shape: [4, 4, 2]
+  clip_model: tiny-test
+  clip_checkpoint: random
+  sim_method: paired
+  sim_norm_thresh: 0.6
+  eval_task: grounding
+TRAIN:
+  base_lr: 0.003
+  min_lr: 0.0003
+  epochs: 1
+  weight_decay: 0.00001
+  max_norm: 5.0
+  save_path: {save_root}
+  save_freq: 1
+  eval_freq: 1
+  print_freq: 1
+  manual_seed: 42
+""")
+    monkeypatch.setattr(sys, "argv", ["train_distil", "--config", cfg_path])
+    train_distil.main()
+    lasts = glob.glob(os.path.join(save_root, "**", "last_model"),
+                      recursive=True)
+    assert lasts, f"no checkpoint under {save_root}"
