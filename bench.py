@@ -552,10 +552,17 @@ def main():
     }
 
     def combined_line():
-        # driver-compat lead metric (fusion — the BASELINE.json headline)
-        lead = results.get("fusion") or next(iter(results.values()))
-        out = {"metric": "fused_scenes_per_sec", "value": lead["value"],
-               "unit": "scenes/sec", "vs_baseline": lead["vs_baseline"]}
+        # driver-compat lead metric (fusion — the BASELINE.json headline).
+        # If the fusion mode itself died, the lead value must be 0.0 with
+        # an error marker — falling back to another mode's number would
+        # report e.g. infer's ~94 scenes/sec as the fused-ingest headline.
+        lead = results.get("fusion")
+        out = {"metric": "fused_scenes_per_sec",
+               "value": lead["value"] if lead else 0.0,
+               "unit": "scenes/sec",
+               "vs_baseline": lead["vs_baseline"] if lead else 0.0}
+        if lead is None:
+            out["error"] = "fusion mode failed"
         for mode, keys in extra_keys.items():
             if mode in results:
                 for k, src in keys.items():

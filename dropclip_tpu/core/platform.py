@@ -66,3 +66,11 @@ def force_cpu_devices(n: int) -> None:
         clear_backends()
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert jax.device_count() >= n, (jax.device_count(), n)
+
+
+def env_flag(name: str) -> bool:
+    """Boolean env-var flag. ``VAR=0`` / ``false`` / ``no`` / ``off`` /
+    unset are OFF — ``bool(os.environ.get(...))`` would treat "0" as ON,
+    which silently inverts A/B control arms."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off")

@@ -182,23 +182,13 @@ class MVTODDataset:
             from ..teachers.clip import build_clip
             from ..teachers.extractor import ClipExtractor
 
+            from ..teachers.convert import build_clip_variables
+
             name = self.cfg.view_clip_model or "ViT-L/14@336px"
             model = build_clip(name, dtype=jnp.bfloat16)
             resize = tuple(self.cfg.view_clip_resize or (336, 448))
-            ckpt = self.cfg.clip_checkpoint
-            if ckpt and ckpt != "random":  # "random" = the framework-wide
-                # random-weights convention (tools/train_distil.py:86)
-                from ..teachers.convert import load_params
-
-                variables = {"params": load_params(ckpt)}
-            else:
-                print("WARNING: use_view_clip without clip_checkpoint; "
-                      "RANDOM teacher weights (smoke mode)")
-                r = model.image_resolution
-                px = jnp.zeros((1, r, r, 3), jnp.float32)
-                toks = jnp.zeros((1, 77), jnp.int32)
-                variables = jax.jit(lambda p, t: model.init(
-                    jax.random.PRNGKey(0), p, t))(px, toks)
+            variables = build_clip_variables(
+                model, self.cfg.clip_checkpoint, context="use_view_clip")
             self._vc_extractor = ClipExtractor(
                 model, variables, mode="patch", img_resize=resize,
                 batch_size=int(self.cfg.view_clip_batch or 12))

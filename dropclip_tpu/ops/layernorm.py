@@ -84,8 +84,10 @@ def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     # passes around an opaque kernel. Keep as opt-in + substrate for a
     # fused add+LN variant. See PERF.md "LayerNorm".
     c = x.shape[-1]
+    from ..core.platform import env_flag
+
     use_pallas = supports(c) and (
-        interpret or (bool(os.environ.get("DROPCLIP_PALLAS_LN"))
+        interpret or (env_flag("DROPCLIP_PALLAS_LN")
                       and jax.default_backend() == "tpu"))
     if not use_pallas:
         xf = x.astype(jnp.float32)

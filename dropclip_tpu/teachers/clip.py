@@ -101,7 +101,7 @@ class MultiHeadAttention(nn.Module):
         self.out_proj = dense("out_proj")
 
     def __call__(self, x: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
-        import os
+        from ..core.platform import env_flag
 
         b, t, d = x.shape
         hd = d // self.heads
@@ -121,12 +121,13 @@ class MultiHeadAttention(nn.Module):
             # teacher path including the driver's bench
             if (supports_packed(t, self.heads, hd, causal,
                                 itemsize=qp.dtype.itemsize)
-                    and bool(os.environ.get("DROPCLIP_PACKED_ATTN"))):
+                    and env_flag("DROPCLIP_PACKED_ATTN")):
                 return self.out_proj(
                     oneshot_attention_packed(qp, kp, vp, self.heads))
-            q = qp.reshape(b, t, self.heads, hd)
-            k = kp.reshape(b, t, self.heads, hd)
-            v = vp.reshape(b, t, self.heads, hd)
+        q = qp.reshape(b, t, self.heads, hd)
+        k = kp.reshape(b, t, self.heads, hd)
+        v = vp.reshape(b, t, self.heads, hd)
+        if self.use_flash:
             # one-shot VMEM kernel beats both flash and XLA dpa at ViT
             # lengths (17.0 vs 13.0 / 13.6 TF/s at T=769, see PERF.md);
             # flash remains for causal (text tower) and long sequences
@@ -135,9 +136,6 @@ class MultiHeadAttention(nn.Module):
             else:
                 out = _flash_attention(q, k, v, causal)
         else:
-            q = qp.reshape(b, t, self.heads, hd)
-            k = kp.reshape(b, t, self.heads, hd)
-            v = vp.reshape(b, t, self.heads, hd)
             out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
         out = out.reshape(b, t, d)
         return self.out_proj(out)

@@ -200,3 +200,28 @@ def load_params(path: str) -> Dict[str, Any]:
     if any(k.startswith("vision_model.") for k in sd):
         return from_hf_state_dict(sd)
     return from_openai_state_dict(sd)
+
+
+def build_clip_variables(model, checkpoint, *, context: str = "teacher"):
+    """``{'params': ...}`` for a built CLIP model.
+
+    Loads ``checkpoint`` when given; a falsy or literal ``"random"``
+    checkpoint (the framework-wide smoke-mode convention,
+    tools/train_distil.py) random-inits with a loud warning. Init runs at
+    the model's native square resolution: param shapes don't depend on
+    input size, and the RN attnpool cls path only accepts its training
+    grid. Shared by the ingest extractor and the view-clip dataset arm so
+    the two paths cannot drift.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if checkpoint and checkpoint != "random":
+        return {"params": load_params(checkpoint)}
+    print(f"WARNING: no CLIP checkpoint for {context}; using RANDOM "
+          "teacher weights (smoke mode)")
+    r = model.image_resolution
+    px = jnp.zeros((1, r, r, 3), jnp.float32)
+    toks = jnp.zeros((1, 77), jnp.int32)
+    return jax.jit(lambda p, t: model.init(
+        jax.random.PRNGKey(0), p, t))(px, toks)

@@ -217,24 +217,11 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
 def build_extractor(args) -> ClipExtractor:
     from ..teachers.clip import build_clip
 
+    from ..teachers.convert import build_clip_variables
+
     model = build_clip(args.clip_model, dtype=jnp.bfloat16)
-    if args.clip_checkpoint:
-        from ..teachers.convert import load_params
-
-        variables = {"params": load_params(args.clip_checkpoint)}
-    else:
-        import jax
-
-        print("WARNING: no --clip-checkpoint; using RANDOM teacher weights "
-              "(pipeline smoke mode)")
-        # init at the model's native square resolution: param shapes don't
-        # depend on input size, and the RN attnpool cls path only accepts
-        # its training grid
-        r = model.image_resolution
-        px = jnp.zeros((1, r, r, 3), jnp.float32)
-        toks = jnp.zeros((1, 77), jnp.int32)
-        variables = jax.jit(lambda p, t: model.init(
-            jax.random.PRNGKey(0), p, t))(px, toks)
+    variables = build_clip_variables(model, args.clip_checkpoint,
+                                     context="--clip-checkpoint")
     return ClipExtractor(model, variables, mode="cls",
                          visual_prompt=args.visual_prompt.split(","),
                          crop_num_levels=args.crop_num_levels,

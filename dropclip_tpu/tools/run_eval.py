@@ -43,21 +43,24 @@ _fuse_obj_jit = jax.jit(fuse_obj_prior, static_argnames=("cfg",))
 _fuse_pts_jit = jax.jit(fuse_points, static_argnames=("cfg",))
 
 
-def _dump_query_viz(viz_dir: str, scene_id: str, text: str, xyz, rgb,
-                    sel, pred, sims, gt) -> None:
+def _dump_query_viz(viz_dir: str, scene_id: str, obj_id: int, text: str,
+                    xyz, rgb, sel, pred, sims, gt) -> None:
     """Heatmap | gt | thresholded-prediction panels per query (the
     reference's viz_clip_pred_gt debug hook, scripts/run_eval.py:28-41,
-    as a .pcd dump)."""
+    as a .pcd dump). ``obj_id`` keys the filename so two instances of
+    the same class (identical query text) don't overwrite each other."""
     import re
 
     from ..viz import export_clip_pred
 
     p = np.asarray(xyz)[sel]
+    if p.size == 0:  # no visible points survived the masks for this query
+        return
     s = np.asarray(sims, np.float32)[sel]
     rng = s.max() - s.min()
     slug = re.sub(r"[^a-z0-9]+", "_", text.lower())[:40]
     export_clip_pred(
-        os.path.join(viz_dir, f"{scene_id}_{slug}.pcd"), p,
+        os.path.join(viz_dir, f"{scene_id}_o{obj_id}_{slug}.pcd"), p,
         np.asarray(pred, bool)[sel],
         (s - s.min()) / (rng if rng > 0 else 1.0),
         background=np.clip(np.asarray(rgb)[sel], 0, 1),
@@ -150,7 +153,8 @@ def eval_scene(raw: Dict, extractor, args) -> Dict[str, float]:
             gts.append((labels_np == obj_id) & np.asarray(sel_pts))
             if getattr(args, "viz_dir", None):
                 _dump_query_viz(args.viz_dir, str(raw.get("scene_id", "s")),
-                                text, xyz, rgb, np.asarray(sel_pts),
+                                int(obj_id), text, xyz, rgb,
+                                np.asarray(sel_pts),
                                 preds[-1], np.asarray(sims), gts[-1])
     if not preds:
         return {}
