@@ -68,6 +68,88 @@ def _pallas_ln(x2d, scale, bias, eps: float, interpret: bool):
     )(x2d, scale, bias)
 
 
+_FUSED_ROWS = 256  # 4 (R, C) bf16 blocks in flight: 2 MB at C=1024
+
+
+def _fused_kernel(r_ref, d_ref, s_ref, b_ref, so_ref, o_ref, *, eps: float):
+    # s = res + delta in the STREAM dtype (bf16 in the teachers), exactly
+    # like the in-model `x + attn(...)` add, then LN reads the requantized
+    # sum — bit parity with the unfused path, one HBM pass instead of
+    # XLA's three (measured 7.9 ms vs the ~2.6 ms floor, PERF.md).
+    s = (r_ref[...].astype(jnp.float32)
+         + d_ref[...].astype(jnp.float32)).astype(so_ref.dtype)
+    so_ref[...] = s
+    x = s.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    o_ref[...] = (y * s_ref[...] + b_ref[...]).astype(o_ref.dtype)
+
+
+def supports_fused(c: int, itemsize: int = 2) -> bool:
+    """Lane-friendly widths whose 4 in-flight blocks (res, delta, sum,
+    normed) double-buffer inside VMEM."""
+    return c % 128 == 0 and 4 * (_FUSED_ROWS + 2) * c * itemsize * 2 < (
+        8 * 1024 * 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _pallas_fused(r2d, d2d, scale, bias, eps: float, interpret: bool):
+    n, c = r2d.shape
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, eps=eps),
+        grid=((n + _FUSED_ROWS - 1) // _FUSED_ROWS,),
+        in_specs=[
+            pl.BlockSpec((_FUSED_ROWS, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FUSED_ROWS, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_FUSED_ROWS, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FUSED_ROWS, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n, c), r2d.dtype),
+                   jax.ShapeDtypeStruct((n, c), r2d.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * r2d.size, transcendentals=0,
+            bytes_accessed=4 * r2d.size * r2d.dtype.itemsize),
+        interpret=interpret,
+    )(r2d, d2d, scale, bias)
+
+
+def add_layer_norm(res: jnp.ndarray, delta: jnp.ndarray,
+                   scale: jnp.ndarray, bias: jnp.ndarray,
+                   eps: float = 1e-5, interpret: bool = False):
+    """``s = res + delta; y = LayerNormF32(s)`` in ONE HBM pass.
+
+    Returns ``(s, y)`` — ``s`` feeds the next residual add, ``y`` the next
+    sublayer. The residual-add + LN + convert pattern is what XLA compiles
+    into its 7.9 ms ``convert_reduce_fusion``s (24x = 33% of the 96-crop
+    ViT-L teacher chunk, PERF.md); the earlier 1:1 LN swap lost because the
+    adds/converts stayed OUTSIDE the kernel. Opt-in on TPU via
+    ``DROPCLIP_FUSED_ADD_LN`` until A/B'd end-to-end on hardware; the jnp
+    fallback is bit-identical to the unfused model path."""
+    from ..core.platform import env_flag
+
+    c = res.shape[-1]
+    use_pallas = supports_fused(c, res.dtype.itemsize) and (
+        interpret or (env_flag("DROPCLIP_FUSED_ADD_LN")
+                      and jax.default_backend() == "tpu"))
+    if not use_pallas:
+        s = res + delta  # stream-dtype add, exactly as the unfused model
+        return s, layer_norm(s, scale, bias, eps=eps)
+    lead = res.shape[:-1]
+    s, y = _pallas_fused(res.reshape(-1, c), delta.reshape(-1, c),
+                         scale.astype(jnp.float32),
+                         bias.astype(jnp.float32), eps, interpret)
+    return s.reshape(*lead, c), y.reshape(*lead, c)
+
+
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                eps: float = 1e-5, interpret: bool = False) -> jnp.ndarray:
     """float32-computed LayerNorm over the last axis, result in x.dtype.

@@ -51,11 +51,15 @@ class LayerNormF32(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.layernorm import layer_norm
+    def __call__(self, x: jnp.ndarray, delta: jnp.ndarray = None):
+        """LN(x), or — with ``delta`` — the fused residual form
+        ``(x + delta, LN(x + delta))`` in one HBM pass (add_layer_norm)."""
+        from ..ops.layernorm import add_layer_norm, layer_norm
 
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        if delta is not None:
+            return add_layer_norm(x, delta, scale, bias, eps=self.epsilon)
         return layer_norm(x, scale, bias, eps=self.epsilon)
 
 
@@ -164,6 +168,18 @@ class ResidualAttentionBlock(nn.Module):
         x = x + self.attn(self.ln_1(x), causal=causal)
         return x + self.c_proj(quick_gelu(self.c_fc(self.ln_2(x))))
 
+    def fused_call(self, res: jnp.ndarray, delta, causal: bool = False):
+        """Fused-stream form: the logical input is ``res + delta`` (delta
+        None for the first block); each residual add rides inside the next
+        add_layer_norm pass instead of a standalone HBM round trip. The
+        caller finishes with one plain add of the returned pair."""
+        if delta is None:
+            s, y = res, self.ln_1(res)
+        else:
+            s, y = self.ln_1(res, delta)
+        s, y = self.ln_2(s, self.attn(y, causal=causal))
+        return s, self.c_proj(quick_gelu(self.c_fc(y)))
+
     def forward_v(self, x: jnp.ndarray) -> jnp.ndarray:
         """Value-path only; no residual, no MLP (reference model.py:214-226)."""
         return self.attn.value_path(self.ln_1(x))
@@ -227,17 +243,30 @@ class CLIPVisionTransformer(nn.Module):
         x = x + self._interpolated_pos_embed(gh, gw).astype(x.dtype)
         return self.ln_pre(x)
 
+    def _run_blocks(self, x: jnp.ndarray, blocks) -> jnp.ndarray:
+        from ..core.platform import env_flag
+
+        if env_flag("DROPCLIP_FUSED_ADD_LN"):
+            # fused residual stream: each add+LN pair is one Pallas pass
+            # (ops/layernorm.add_layer_norm); only the loop-closing add
+            # remains a plain elementwise op
+            res, delta = x, None
+            for blk in blocks:
+                res, delta = blk.fused_call(res, delta)
+            return res + delta
+        for blk in blocks:
+            x = blk(x)
+        return x
+
     def __call__(self, pixels: jnp.ndarray,
                  patch_output: bool = False) -> jnp.ndarray:
         x = self._embed(pixels)
         if patch_output:
-            for blk in self.blocks[:-1]:
-                x = blk(x)
+            x = self._run_blocks(x, self.blocks[:-1])
             x = self.blocks[-1].forward_v(x)
             x = self.ln_post(x[:, 1:, :])
             return x @ self.proj.astype(x.dtype)
-        for blk in self.blocks:
-            x = blk(x)
+        x = self._run_blocks(x, self.blocks)
         x = self.ln_post(x[:, 0, :])
         return x @ self.proj.astype(x.dtype)
 
