@@ -69,15 +69,34 @@ class Block(nn.Module):
     ffn: str = "mlp"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, delta: jnp.ndarray = None,
+                 fused: bool = False):
         d = x.shape[-1]
         ls1 = self.param("ls1", nn.initializers.ones, (d,))
         ls2 = self.param("ls2", nn.initializers.ones, (d,))
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        x = x + Attention(self.heads, dtype=self.dtype,
+        if fused:
+            # fused residual stream (see clip.ResidualAttentionBlock
+            # .fused_call): logical input is x + delta; each add+LN pair
+            # is one add_layer_norm pass. LayerNormF32 creates the same
+            # {scale, bias} params under the same names as nn.LayerNorm,
+            # so checkpoints are interchangeable between the two paths.
+            from .clip import LayerNormF32
+
+            ln1 = LayerNormF32(epsilon=1e-6, name="norm1")
+            if delta is None:
+                s, h = x, ln1(x)
+            else:
+                s, h = ln1(x, delta)
+            a = Attention(self.heads, dtype=self.dtype,
                           use_flash=self.use_flash,
-                          name="attn")(h) * ls1.astype(x.dtype)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+                          name="attn")(h) * ls1.astype(s.dtype)
+            s, h = LayerNormF32(epsilon=1e-6, name="norm2")(s, a)
+        else:
+            h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+            x = x + Attention(self.heads, dtype=self.dtype,
+                              use_flash=self.use_flash,
+                              name="attn")(h) * ls1.astype(x.dtype)
+            h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         if self.ffn == "swiglu":
             # hidden = 8-aligned 2/3 of the MLP width (SwiGLUFFNFused)
             hidden = (int(int(d * self.mlp_ratio) * 2 / 3) + 7) // 8 * 8
@@ -91,6 +110,8 @@ class Block(nn.Module):
             h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(
                 self.dtype)
             h = nn.Dense(d, dtype=self.dtype, name="fc2")(h)
+        if fused:
+            return s, h * ls2.astype(s.dtype)
         return x + h * ls2.astype(x.dtype)
 
 
@@ -123,10 +144,21 @@ class DinoV2ViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype),
                                               (b, 1, self.width)), x], axis=1)
         x = x + self._interp_pos(pe, gh, gw).astype(x.dtype)
-        for i in range(self.layers):
-            x = Block(self.heads, self.mlp_ratio, dtype=self.dtype,
-                      use_flash=self.use_flash, ffn=self.ffn,
-                      name=f"block_{i}")(x)
+        from ..core.platform import env_flag
+
+        if env_flag("DROPCLIP_FUSED_ADD_LN"):
+            res, delta = x, None
+            for i in range(self.layers):
+                res, delta = Block(self.heads, self.mlp_ratio,
+                                   dtype=self.dtype,
+                                   use_flash=self.use_flash, ffn=self.ffn,
+                                   name=f"block_{i}")(res, delta, fused=True)
+            x = res + delta
+        else:
+            for i in range(self.layers):
+                x = Block(self.heads, self.mlp_ratio, dtype=self.dtype,
+                          use_flash=self.use_flash, ffn=self.ffn,
+                          name=f"block_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         return x[:, 0], x[:, 1:].reshape(b, gh, gw, self.width)
 

@@ -78,13 +78,19 @@ def main() -> None:
 
     ex = Dinov2Extractor(model, variables, mode=a.mode,
                          img_resize=tuple(a.resize), batch_size=a.batch_size)
-    files = sorted(glob.glob(a.images))
-    assert files, f"no images match {a.images}"
+    pattern = a.images
+    if os.path.isdir(pattern):  # accept a directory as shorthand for dir/*
+        pattern = os.path.join(pattern, "*")
+    files = [f for f in sorted(glob.glob(pattern)) if os.path.isfile(f)]
+    assert files, f"no images match {pattern}"
     os.makedirs(a.out, exist_ok=True)
     for i in range(0, len(files), a.batch_size):
         chunk = files[i: i + a.batch_size]
-        imgs = np.stack([
-            np.ascontiguousarray(cv2.imread(f)[:, :, ::-1]) for f in chunk])
+        loaded = [cv2.imread(f) for f in chunk]
+        bad = [f for f, im in zip(chunk, loaded) if im is None]
+        assert not bad, f"unreadable image files: {bad}"
+        imgs = np.stack([np.ascontiguousarray(im[:, :, ::-1])
+                         for im in loaded])
         feats = np.asarray(ex.extract(imgs))
         for f, feat in zip(chunk, feats):
             name = os.path.splitext(os.path.basename(f))[0]

@@ -98,3 +98,29 @@ def test_swiglu_matches_hf(rng):
     assert np.max(np.abs(np.asarray(cls) - out[:, 0].numpy())) < 1e-4
     want_patch = out[:, 1:].numpy().reshape(2, 2, 2, 64)
     assert np.max(np.abs(np.asarray(patch) - want_patch)) < 1e-4
+
+
+def test_fused_stream_parity(rng, monkeypatch):
+    # DROPCLIP_FUSED_ADD_LN routes blocks through the fused residual
+    # stream (Block(..., fused=True)); on CPU the jnp fallback must match
+    # the default path to bf16 tolerance (nn.LayerNorm's fast-variance vs
+    # the kernel's two-pass differ only in f32 rounding)
+    import jax
+
+    from dropclip_tpu.teachers.dinov2 import DinoV2ViT
+
+    vit = DinoV2ViT(width=128, layers=2, heads=4, patch_size=14,
+                    image_resolution=56, dtype=jnp.bfloat16)
+    px = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 56, 56, 3)).astype(np.float32))
+    monkeypatch.delenv("DROPCLIP_FUSED_ADD_LN", raising=False)
+    v = vit.init(jax.random.PRNGKey(0), px)
+    cls0, pat0 = vit.apply(v, px)
+    monkeypatch.setenv("DROPCLIP_FUSED_ADD_LN", "1")
+    cls1, pat1 = vit.apply(v, px)
+    np.testing.assert_allclose(np.asarray(cls0, np.float32),
+                               np.asarray(cls1, np.float32),
+                               rtol=0.03, atol=0.03)
+    np.testing.assert_allclose(np.asarray(pat0, np.float32),
+                               np.asarray(pat1, np.float32),
+                               rtol=0.03, atol=0.03)
