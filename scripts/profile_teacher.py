@@ -4,7 +4,7 @@ Usage: python scripts/profile_teacher.py        (needs the TPU; ~3 min
 compile first run). Prints the chunk wall time, the implied s/scene for
 the 73-view ingest, and the xplane op/stem totals via
 dropclip_tpu.core.xplane. A/B kernels with DROPCLIP_PACKED_ATTN=1 /
-DROPCLIP_PALLAS_LN=1. History of findings: PERF.md.
+DROPCLIP_PALLAS_LN=1 / DROPCLIP_FUSED_ADD_LN=1. History of findings: PERF.md.
 
 Profile ONE teacher obj-prior dispatch (8 views x K objects through
 ViT-L/14@336px with random weights) on TPU and bucket xplane time by op
