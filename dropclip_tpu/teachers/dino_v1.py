@@ -185,6 +185,11 @@ DINO_V1_CONFIGS = {
                                  patch_size=16),
     "tiny-test": dict(width=32, layers=2, heads=4, patch_size=4,
                       image_resolution=16),
+    # 12-layer tiny: lets the reference-executing oracle drive the REAL
+    # extractor (its saliency path hardcodes layer 11 / heads 0,2,4,5 —
+    # dino_vit_extractor.py:318-321) at toy cost
+    "tiny-test-deep": dict(width=48, layers=12, heads=6, patch_size=4,
+                           image_resolution=16),
 }
 
 
@@ -289,7 +294,7 @@ class ViTExtractor:
         self.model = build_dino_v1(model_type, stride, dtype=dtype)
         self.p = self.model.patch_size
         self.stride = (stride, stride)
-        if "dino" in model_type or model_type == "tiny-test":
+        if "dino" in model_type or model_type.startswith("tiny-test"):
             self.mean, self.std = DINO_V1_MEAN, DINO_V1_STD
         else:
             self.mean, self.std = TIMM_MEAN, TIMM_STD
@@ -358,7 +363,8 @@ class ViTExtractor:
 
     def extract_saliency_maps(self, batch) -> jnp.ndarray:
         """cls-attention saliency in [0, 1], (B, t-1) (reference :311-325)."""
-        if self.model_type not in ("dino_vits8", "tiny-test"):
+        if self.model_type not in ("dino_vits8", "tiny-test",
+                           "tiny-test-deep"):
             raise ValueError("saliency maps are supported only for "
                              "dino_vits8 model_type")
         probs = self._run(batch, self.model.layers - 1, "attn")

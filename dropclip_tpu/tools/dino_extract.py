@@ -23,6 +23,22 @@ import os
 import numpy as np
 
 
+def _list_images(pattern: str):
+    if os.path.isdir(pattern):  # accept a directory as shorthand for dir/*
+        pattern = os.path.join(pattern, "*")
+    files = [f for f in sorted(glob.glob(pattern)) if os.path.isfile(f)]
+    assert files, f"no images match {pattern}"
+    return files
+
+
+def _read_rgb(path: str) -> np.ndarray:
+    import cv2
+
+    im = cv2.imread(path)
+    assert im is not None, f"unreadable image file: {path}"
+    return np.ascontiguousarray(im[:, :, ::-1])
+
+
 def main() -> None:
     from ..core.platform import honor_jax_platforms_env
 
@@ -50,7 +66,6 @@ def main() -> None:
                    default="auto")
     a = p.parse_args()
 
-    import cv2
     import jax
     import jax.numpy as jnp
 
@@ -78,19 +93,11 @@ def main() -> None:
 
     ex = Dinov2Extractor(model, variables, mode=a.mode,
                          img_resize=tuple(a.resize), batch_size=a.batch_size)
-    pattern = a.images
-    if os.path.isdir(pattern):  # accept a directory as shorthand for dir/*
-        pattern = os.path.join(pattern, "*")
-    files = [f for f in sorted(glob.glob(pattern)) if os.path.isfile(f)]
-    assert files, f"no images match {pattern}"
+    files = _list_images(a.images)
     os.makedirs(a.out, exist_ok=True)
     for i in range(0, len(files), a.batch_size):
         chunk = files[i: i + a.batch_size]
-        loaded = [cv2.imread(f) for f in chunk]
-        bad = [f for f, im in zip(chunk, loaded) if im is None]
-        assert not bad, f"unreadable image files: {bad}"
-        imgs = np.stack([np.ascontiguousarray(im[:, :, ::-1])
-                         for im in loaded])
+        imgs = np.stack([_read_rgb(f) for f in chunk])
         feats = np.asarray(ex.extract(imgs))
         for f, feat in zip(chunk, feats):
             name = os.path.splitext(os.path.basename(f))[0]
@@ -101,8 +108,6 @@ def main() -> None:
 def _main_dino_v1(a) -> None:
     """Hi-res stride-patched descriptor path (reference
     dino_vit_extractor.py:356-364)."""
-    import cv2
-
     from dropclip_tpu.teachers.dino_v1 import ViTExtractor, from_dino_v1
 
     variables = None
@@ -115,12 +120,10 @@ def _main_dino_v1(a) -> None:
     else:
         print("WARNING: no --checkpoint; RANDOM weights (smoke mode)")
     ex = ViTExtractor(a.model, stride=a.stride, variables=variables)
-    files = sorted(glob.glob(a.images))
-    assert files, f"no images match {a.images}"
+    files = _list_images(a.images)
     os.makedirs(a.out, exist_ok=True)
     for f in files:
-        img = np.ascontiguousarray(cv2.imread(f)[:, :, ::-1])
-        batch = ex.preprocess(img, load_size=a.load_size)
+        batch = ex.preprocess(_read_rgb(f), load_size=a.load_size)
         desc = ex.extract_descriptors(batch, layer=a.layer, facet=a.facet,
                                       bin=a.bin)
         name = os.path.splitext(os.path.basename(f))[0]
