@@ -7,6 +7,7 @@ data/blender.py:124-162) — built from explicit cylinder vertices/faces.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -96,9 +97,8 @@ def _transform(verts: np.ndarray, T: np.ndarray) -> np.ndarray:
 
 def _franka_mesh() -> Tuple[np.ndarray, np.ndarray]:
     """Procedural Franka-Panda-hand approximation (palm + two fingers,
-    Panda hand dimensions). The reference bakes the vendor OBJ assets
-    (gripper_models/franka_panda/meshes); assets are not vendored here —
-    this stands in at the same pose/scale for visualization."""
+    Panda hand dimensions) — fallback when the vendored CAD assets
+    (grasp/assets/, see PROVENANCE.md) are unavailable."""
     palm = _box([0, 0, 0.029], [0.063, 0.21, 0.058])
     finger_l = _box([0, 0.045, 0.083], [0.022, 0.018, 0.05])
     finger_r = _box([0, -0.045, 0.083], [0.022, 0.018, 0.05])
@@ -106,11 +106,64 @@ def _franka_mesh() -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _robotiq_mesh() -> Tuple[np.ndarray, np.ndarray]:
-    """Procedural Robotiq 2F-140 approximation (wider jaw span)."""
+    """Procedural Robotiq 2F-140 approximation (wider jaw span) —
+    fallback when the vendored CAD asset is unavailable."""
     palm = _box([0, 0, 0.03], [0.09, 0.13, 0.06])
     finger_l = _box([0, 0.07, 0.12], [0.025, 0.02, 0.12])
     finger_r = _box([0, -0.07, 0.12], [0.025, 0.02, 0.12])
     return _concat([palm, finger_l, finger_r])
+
+
+_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+
+
+def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal Wavefront OBJ reader: ``v x y z`` vertices and ``f``
+    faces (slash groups allowed, polygons fan-triangulated). Covers the
+    assimp/trimesh exports in grasp/assets/."""
+    verts, faces = [], []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) for p in parts[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):  # fan triangulation
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (np.asarray(verts, float),
+            np.asarray(faces, np.int32).reshape(-1, 3))
+
+
+def _rot_z(theta: float) -> np.ndarray:
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _franka_mesh_assets() -> Tuple[np.ndarray, np.ndarray]:
+    """Vendor CAD Franka hand: the reference's make_franka_mesh posing
+    (gripper_models/franka_panda/make.py:7-35) — fingers offset
+    (0, +/-0.015, 0.0584), right finger rotated pi about z, combined
+    hand translated z-0.105 (the rotated tf there is dead code; only
+    the translation is applied)."""
+    hand = load_obj(os.path.join(_ASSETS, "franka_hand.obj"))
+    lf_v, lf_f = load_obj(os.path.join(_ASSETS, "franka_finger.obj"))
+    rf_v = lf_v @ _rot_z(np.pi).T + np.array([0, -0.015, 0.0584])
+    lf_v = lf_v + np.array([0, 0.015, 0.0584])
+    v, f = _concat([hand, (lf_v, lf_f), (rf_v, lf_f)])
+    return v + np.array([0, 0, -0.105]), f
+
+
+def _robotiq_mesh_assets() -> Tuple[np.ndarray, np.ndarray]:
+    return load_obj(os.path.join(_ASSETS, "robotiq_2f_140.obj"))
+
+
+def _have_assets() -> bool:
+    return all(os.path.exists(os.path.join(_ASSETS, n)) for n in (
+        "franka_hand.obj", "franka_finger.obj", "robotiq_2f_140.obj"))
 
 
 def make(gripper_type: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -118,7 +171,8 @@ def make(gripper_type: str) -> Tuple[np.ndarray, np.ndarray]:
     same names, same posing transforms, (verts, faces) instead of an o3d
     TriangleMesh."""
     if gripper_type == "franka_panda":
-        v, f = _franka_mesh()
+        v, f = (_franka_mesh_assets() if _have_assets()
+                else _franka_mesh())
         theta = np.pi / 2  # reference :76-83
         R = np.array([
             [np.cos(theta), 0, np.sin(theta), 0.025],
@@ -130,7 +184,8 @@ def make(gripper_type: str) -> Tuple[np.ndarray, np.ndarray]:
         v = (v - v.mean(0)) * 1.25 + v.mean(0)  # reference :85 scale
         return v, f
     if gripper_type == "robotiq_2f_140":
-        v, f = _robotiq_mesh()
+        v, f = (_robotiq_mesh_assets() if _have_assets()
+                else _robotiq_mesh())
         theta = np.pi / 2  # reference :92-98
         R = np.array([
             [np.cos(theta), 0, np.sin(theta), 0.0],

@@ -59,11 +59,12 @@ def test_gripper_factory(tmp_path):
         assert v.shape[1] == 3 and f.dtype == np.int32
         assert f.max() < len(v) and f.min() >= 0
         save_obj(str(tmp_path / f"{name}.obj"), v, f)
-    # franka: fingers along +x after the 90-deg about-y posing transform,
-    # 1.25x scale about the mesh center (reference
-    # gripper_models/__init__.py:76-85)
+    # franka: the 90-deg about-y posing transform maps the hand's -z
+    # approach axis onto x, 1.25x scale about the mesh center (reference
+    # gripper_models/__init__.py:76-85) — the posed CAD hand extends
+    # ~0.17 m along x
     v, _ = make("franka_panda")
-    assert v[:, 0].max() > 0.06
+    assert np.ptp(v[:, 0]) > 0.12
     with pytest.raises(ValueError):
         make("shadow_hand")
 
@@ -89,3 +90,34 @@ def test_rank_grasps_by_query(rng):
     # both object-A grasps outrank the high-quality object-B grasp
     assert set(order[:2]) == {0, 2}
     assert order[2] == 1
+
+
+def test_gripper_cad_assets(monkeypatch, tmp_path):
+    """Vendored CAD meshes (grasp/assets/) back the factory; the
+    procedural approximations remain behind a fallback switch."""
+    from dropclip_tpu.grasp import gripper
+
+    assert gripper._have_assets()
+    v, f = gripper.make("franka_panda")
+    # real hand+2 fingers: hundreds of CAD vertices, not 24 box corners
+    assert len(v) > 100 and f.max() < len(v) and f.min() >= 0
+    rv, rf = gripper.make("robotiq_2f_140")
+    assert len(rv) > 1000 and rf.max() < len(rv)
+    # fingers straddle the grasp axis symmetrically (pre-pose y offsets)
+    hv, _ = gripper._franka_mesh_assets()
+    assert abs(hv[:, 1].max() + hv[:, 1].min()) < 0.02
+    # procedural fallback still poses correctly
+    monkeypatch.setattr(gripper, "_have_assets", lambda: False)
+    pv, pf = gripper.make("franka_panda")
+    assert len(pv) == 24 and pf.shape[1] == 3
+
+
+def test_load_obj_formats(tmp_path):
+    from dropclip_tpu.grasp.gripper import load_obj
+
+    p = tmp_path / "m.obj"
+    p.write_text("# c\nv 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+                 "f 1//1 2//1 3//1\nf 1 3 4 2\n")  # slash + quad fan
+    v, f = load_obj(str(p))
+    assert v.shape == (4, 3)
+    assert f.tolist() == [[0, 1, 2], [0, 2, 3], [0, 3, 1]]
