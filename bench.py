@@ -528,6 +528,31 @@ def main_metrics():
     }
 
 
+def _arm_watchdog(emit, seconds: float):
+    """Last-resort guard for a wedged TPU tunnel: a mode stuck inside a
+    device dispatch can't be interrupted from Python, but a daemon thread
+    can still flush a final JSON line and exit so the driver records the
+    modes that DID complete instead of nothing. Returns an Event the
+    caller sets on completion."""
+    import threading
+
+    done = threading.Event()
+
+    def _fire():
+        if not done.wait(seconds):
+            emit()
+            os._exit(0)
+
+    threading.Thread(target=_fire, daemon=True).start()
+    return done
+
+
+def _mode_budget_s() -> float:
+    # the longest mode (metrics: full synthetic train->validate e2e) runs
+    # ~10 min on the chip; 30 min/mode only ever fires on a wedged tunnel
+    return float(os.environ.get("BENCH_MODE_TIMEOUT", 1800))
+
+
 def main():
     """One JSON line. BENCH_METRIC selects a single mode; unset runs ALL
     modes and emits the combined headline (fusion is the lead metric —
@@ -536,7 +561,15 @@ def main():
              "train": main_train, "metrics": main_metrics}
     mode = os.environ.get("BENCH_METRIC")
     if mode:
-        print(json.dumps(modes[mode]()))
+        done = _arm_watchdog(
+            lambda: print(json.dumps(
+                {"metric": "fused_scenes_per_sec", "value": 0.0,
+                 "unit": "scenes/sec", "vs_baseline": 0.0,
+                 "error": f"mode '{mode}' timed out (wedged device?)"}),
+                flush=True), _mode_budget_s())
+        line = json.dumps(modes[mode]())
+        done.set()
+        print(line)
         return
 
     results = {}
@@ -571,6 +604,10 @@ def main():
 
     for name, fn in modes.items():
         t0 = time.perf_counter()
+        watchdog = _arm_watchdog(
+            lambda n=name: print(
+                f"# bench mode '{n}' TIMED OUT (wedged device?)\n"
+                + combined_line(), flush=True), _mode_budget_s())
         try:
             results[name] = fn()
         except Exception as e:  # a dead mode (e.g. wedged TPU tunnel
@@ -580,6 +617,8 @@ def main():
             if results:
                 print(combined_line(), flush=True)
             continue
+        finally:
+            watchdog.set()
         print(f"# bench mode '{name}' done in "
               f"{time.perf_counter() - t0:.0f}s: {results[name]}", flush=True)
         # re-print the combined line after EVERY mode: if the driver's
