@@ -477,11 +477,19 @@ class CLIPTextTransformer(nn.Module):
 
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
         """tokens: (B, T) int32 (T <= context_length) -> (B, embed_dim)."""
+        from ..core.platform import env_flag
+
         t = tokens.shape[1]
         x = self.token_embedding(tokens).astype(self.dtype)
         x = x + self.positional_embedding[:t].astype(x.dtype)
-        for blk in self.blocks:
-            x = blk(x, causal=True)
+        if env_flag("DROPCLIP_FUSED_ADD_LN"):
+            res, delta = x, None
+            for blk in self.blocks:
+                res, delta = blk.fused_call(res, delta, causal=True)
+            x = res + delta
+        else:
+            for blk in self.blocks:
+                x = blk(x, causal=True)
         x = self.ln_final(x)
         eot = jnp.argmax(tokens, axis=-1)
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]

@@ -314,3 +314,25 @@ def test_rn_full_model_converter_parity():
     np.testing.assert_allclose(got_img, want_img, atol=3e-4)
     np.testing.assert_allclose(got_txt, want_txt, atol=3e-4)
     np.testing.assert_allclose(np.asarray(got_li), want_li, atol=2e-3)
+
+
+def test_text_tower_fused_stream_parity(monkeypatch):
+    # the fused residual stream must reproduce the plain causal block
+    # loop exactly (jnp fallback on CPU)
+    import jax
+    import numpy as np
+
+    from dropclip_tpu.teachers.clip import CLIPTextTransformer
+
+    txt = CLIPTextTransformer(width=128, layers=2, heads=4, vocab_size=100,
+                              context_length=16, embed_dim=64,
+                              dtype=jnp.bfloat16)
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(1, 100, (3, 16)), jnp.int32)
+    monkeypatch.delenv("DROPCLIP_FUSED_ADD_LN", raising=False)
+    v = txt.init(jax.random.PRNGKey(0), toks)
+    base = txt.apply(v, toks)
+    monkeypatch.setenv("DROPCLIP_FUSED_ADD_LN", "1")
+    fused = txt.apply(v, toks)
+    np.testing.assert_array_equal(np.asarray(base, np.float32),
+                                  np.asarray(fused, np.float32))
