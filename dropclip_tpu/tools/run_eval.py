@@ -68,6 +68,39 @@ def _dump_query_viz(viz_dir: str, scene_id: str, obj_id: int, text: str,
         trans_factor=float(np.ptp(p[:, 0]) * 1.2 + 1e-3) if len(p) else 1.0)
 
 
+def _teacher_cache(args, scene_id: str, mode: str, names, compute):
+    """chp_folder-style teacher-output cache (reference scripts/
+    run_eval.py:165-227 caches per-scene clip features to disk): ablation
+    sweeps over fusion/grounding axes (sim kernel, negatives, thresholds)
+    reuse the expensive extraction across runs. Keyed by the args that
+    change the teacher outputs; atomic tmp+rename writes."""
+    cache = getattr(args, "cache_dir", None)
+    if not cache:
+        return compute()
+    import hashlib
+
+    key = "|".join(str(getattr(args, k, None)) for k in (
+        "clip_model", "clip_checkpoint", "visual_prompt",
+        "crop_num_levels", "crop_expansion_ratio", "n_views",
+        "max_objects"))
+    digest = hashlib.md5(key.encode()).hexdigest()[:10]
+    path = os.path.join(cache, f"{scene_id}_{mode}_{digest}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return tuple(z[n] for n in names)
+    def _np32(x):
+        a = np.asarray(x)
+        # npz has no bf16; the fusion path consumes f32 anyway
+        return a.astype(np.float32) if a.dtype == jnp.bfloat16 else a
+
+    out = tuple(_np32(x) for x in compute())
+    os.makedirs(cache, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}.npz"
+    np.savez(tmp, **dict(zip(names, out)))
+    os.replace(tmp, path)
+    return out
+
+
 def eval_scene(raw: Dict, extractor, args) -> Dict[str, float]:
     """One scene: aggregate -> extract -> fuse -> ground queries -> metrics."""
     images, depths, segs = raw["images"], raw["depths"], raw["segs"]
@@ -101,10 +134,16 @@ def eval_scene(raw: Dict, extractor, args) -> Dict[str, float]:
                        use_similarity=bool(args.use_similarity),
                        sim_kernel=args.use_sim_kernel)
 
+    scene_id = str(raw.get("scene_id", "s"))
     if args.use_obj_prior:
-        extractor.set_mode("cls")
-        obj_feats, present = extractor.extract_obj_prior(
-            images, segs, obj_ids=np.arange(q_max))
+        def _obj_prior():
+            extractor.set_mode("cls")
+            return extractor.extract_obj_prior(images, segs,
+                                               obj_ids=np.arange(q_max))
+
+        obj_feats, present = _teacher_cache(
+            args, scene_id, "objprior", ("obj_feats", "present"), _obj_prior)
+        obj_feats, present = jnp.asarray(obj_feats), jnp.asarray(present)
         fused = _fuse_obj_jit(xyz, jnp.asarray(depths), jnp.asarray(segs),
                               jnp.asarray(poses), obj_feats, present,
                               query_embs, jnp.asarray(K), cfg,
@@ -115,8 +154,13 @@ def eval_scene(raw: Dict, extractor, args) -> Dict[str, float]:
         point_feats = splat_object_features(labels, jnp.asarray(obj_out))
         visible = np.asarray(fused.visible)
     else:
-        extractor.set_mode("patch")
-        patch_feats = extractor.extract(images)  # (V, ph, pw, C)
+        def _patches():
+            extractor.set_mode("patch")
+            return (extractor.extract(images),)  # (V, ph, pw, C)
+
+        (patch_feats,) = _teacher_cache(
+            args, scene_id, "patch", ("patch_feats",), _patches)
+        patch_feats = jnp.asarray(patch_feats)
         fused = _fuse_pts_jit(xyz, jnp.asarray(depths), jnp.asarray(segs),
                               jnp.asarray(poses), patch_feats, query_embs,
                               jnp.asarray(K), cfg)
@@ -202,6 +246,9 @@ def main() -> None:
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--save-results", default=None)
     p.add_argument("--viz-dir", default=None, help="dump per-query heatmap|gt|pred .pcd panels (reference viz_clip_pred_gt)")
+    p.add_argument("--cache-dir", default=None, dest="cache_dir",
+                   help="per-scene teacher-feature cache shared across "
+                        "ablation runs (reference chp_folder)")
     args = p.parse_args()
 
     extractor = build_extractor(args)
@@ -224,6 +271,9 @@ def main() -> None:
             segs, _ = BlenderDataset.obtain_seg_info(scene)
             views = list(scene["views"].values())
             scenes.append({
+                # real id, not loop index: keeps --cache-dir entries
+                # stable across --start/--end windows
+                "scene_id": str(ds.scene_ids[sid]),
                 "images": np.stack([v["rgb"] for v in views]),
                 "depths": np.stack([v["depth"] for v in views]),
                 "segs": np.stack(segs),

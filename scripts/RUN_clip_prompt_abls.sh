@@ -7,6 +7,9 @@ ROOT=${ROOT:-}
 CKPT=${CKPT:-}
 MODEL=${MODEL:-tiny-test}
 EXTRA=${EXTRA:-}
+# teacher-feature cache shared across the grid (reference chp_folder); CACHE= disables
+CACHE=${CACHE-results/clip_prompt/.feat_cache}
+[ -n "$CACHE" ] && EXTRA="$EXTRA --cache-dir $CACHE"
 [ -n "$ROOT" ] && EXTRA="$EXTRA -r $ROOT"
 [ -n "$CKPT" ] && EXTRA="$EXTRA --clip-checkpoint $CKPT"
 

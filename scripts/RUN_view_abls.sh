@@ -8,6 +8,9 @@ CKPT=${CKPT:-}
 MODEL=${MODEL:-tiny-test}
 VIEWS=${VIEWS:-"1 2 3 4"}   # real data: "1 3 6 9 12 24 36 48 60 73"
 EXTRA=${EXTRA:-}
+# teacher-feature cache shared across the grid (reference chp_folder); CACHE= disables
+CACHE=${CACHE-results/view_abls/.feat_cache}
+[ -n "$CACHE" ] && EXTRA="$EXTRA --cache-dir $CACHE"
 [ -n "$ROOT" ] && EXTRA="$EXTRA -r $ROOT"
 [ -n "$CKPT" ] && EXTRA="$EXTRA --clip-checkpoint $CKPT"
 

@@ -8,6 +8,9 @@ CKPT=${CKPT:-}
 MODEL=${MODEL:-tiny-test}
 SIZES=${SIZES:-"0.005 0.01 0.02"}   # real data: "0.002 0.004 0.006 0.008"
 EXTRA=${EXTRA:-}
+# teacher-feature cache shared across the grid (reference chp_folder); CACHE= disables
+CACHE=${CACHE-results/voxel_abls/.feat_cache}
+[ -n "$CACHE" ] && EXTRA="$EXTRA --cache-dir $CACHE"
 [ -n "$ROOT" ] && EXTRA="$EXTRA -r $ROOT"
 [ -n "$CKPT" ] && EXTRA="$EXTRA --clip-checkpoint $CKPT"
 

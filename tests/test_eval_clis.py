@@ -67,3 +67,36 @@ MODEL:
     assert "UPPERBOUND" in res["eval_cfg"]
     assert np.isfinite(res["mIoU"])
     assert res["DistilLoss"] == 0.0
+
+
+def test_run_eval_teacher_cache(monkeypatch, capsys, tmp_path):
+    """--cache-dir: second run reuses the cached teacher features — the
+    reference's chp_folder workflow for ablation sweeps (scripts/
+    run_eval.py:165-227). Proven by breaking extraction before rerun."""
+    import os
+
+    from dropclip_tpu.tools import run_eval
+
+    cache = str(tmp_path / "feats")
+    argv = ["run_eval", "-ds", "Synthetic", "--n-scenes", "1",
+            "--clip-model", "tiny-test", "--cloud_capacity", "4096",
+            "--max_objects", "8", "--voxel_size", "0.02",
+            "--use_obj_prior", "1", "--cache-dir", cache]
+    monkeypatch.setattr(sys, "argv", argv)
+    run_eval.main()
+    first = json.loads([l for l in capsys.readouterr().out.splitlines()
+                        if l.startswith("{")][-1])
+    files = os.listdir(cache)
+    assert any(f.endswith(".npz") and "_objprior_" in f for f in files)
+
+    from dropclip_tpu.teachers.extractor import ClipExtractor
+
+    def _boom(self, *a, **k):
+        raise AssertionError("extraction ran despite a warm cache")
+
+    monkeypatch.setattr(ClipExtractor, "extract_obj_prior", _boom)
+    monkeypatch.setattr(sys, "argv", argv)
+    run_eval.main()
+    second = json.loads([l for l in capsys.readouterr().out.splitlines()
+                         if l.startswith("{")][-1])
+    assert first["mean"] == second["mean"]
