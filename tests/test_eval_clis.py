@@ -69,6 +69,7 @@ MODEL:
     assert res["DistilLoss"] == 0.0
 
 
+@pytest.mark.slow
 def test_run_eval_teacher_cache(monkeypatch, capsys, tmp_path):
     """--cache-dir: second run reuses the cached teacher features — the
     reference's chp_folder workflow for ablation sweeps (scripts/
