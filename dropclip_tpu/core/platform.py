@@ -17,6 +17,9 @@ def honor_jax_platforms_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # every entry point routes through here — piggyback the persistent
+    # compile cache (no-op if DROPCLIP_COMPILE_CACHE=0)
+    enable_compile_cache()
 
 
 def force_cpu_devices(n: int) -> None:
@@ -47,6 +50,14 @@ def force_cpu_devices(n: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    if not os.environ.get("DROPCLIP_COMPILE_CACHE", "").strip():
+        # cache may have been enabled for an assumed-TPU process at import
+        # (see enable_compile_cache: CPU AOT reload risks SIGILL) — a
+        # forced-CPU dryrun turns it back off unless explicitly opted in
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:
+            pass
     try:
         # config knob beats XLA_FLAGS parse-timing issues where available
         if jax.config.jax_num_cpu_devices < n:
@@ -66,6 +77,42 @@ def force_cpu_devices(n: int) -> None:
         clear_backends()
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert jax.device_count() >= n, (jax.device_count(), n)
+
+
+def enable_compile_cache(path: str = None) -> None:
+    """Persistent, content-addressed XLA compilation cache.
+
+    Repeat runs of the CLIs/bench pay the full compile every time (20-40 s
+    per TPU program); ``jax_compilation_cache_dir`` amortizes that across
+    processes and rounds. Default location: ``<repo>/.jax_cache``
+    (gitignored). Disable with ``DROPCLIP_COMPILE_CACHE=0``; override with
+    a path.
+
+    TPU-only unless a path is passed explicitly: XLA:CPU caches AOT
+    machine code and reloading it warns about target-feature mismatches
+    ("could lead to SIGILL") — measured 3x faster on the warm 8-device
+    dryrun (4m35 -> 1m31), but not worth a crash class in a correctness
+    artifact. Set DROPCLIP_COMPILE_CACHE=<dir> to opt a CPU run in."""
+    env = os.environ.get("DROPCLIP_COMPILE_CACHE", "")
+    if env.strip().lower() in ("0", "false", "no", "off"):
+        return
+    explicit = path or (env if env else None)
+    if explicit is None and os.environ.get("JAX_PLATFORMS", "").strip() \
+            .lower().startswith("cpu"):
+        return
+    p = explicit or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(p))
+        # cache everything that takes meaningful time; tiny programs are
+        # cheaper to recompile than to hash+serialize
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without the knobs: cache is an optimization only
 
 
 def env_flag(name: str) -> bool:

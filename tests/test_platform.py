@@ -17,3 +17,39 @@ def test_env_flag_on_values(monkeypatch):
     for v in ("1", "true", "True", "yes", "on", "anything"):
         monkeypatch.setenv("DROPCLIP_TEST_FLAG", v)
         assert platform.env_flag("DROPCLIP_TEST_FLAG") is True, v
+
+
+def test_compile_cache_gating(monkeypatch):
+    # default: TPU-only — a cpu-pinned process must NOT get a cache dir
+    # (XLA:CPU AOT reload risks SIGILL); explicit path opts in anywhere
+    import dropclip_tpu.core.platform as platform
+
+    calls = {}
+
+    class _Cfg:
+        def update(self, k, v):
+            calls[k] = v
+
+    monkeypatch.setattr(platform, "os", platform.os)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.delenv("DROPCLIP_COMPILE_CACHE", raising=False)
+    import jax
+
+    monkeypatch.setattr(jax, "config", _Cfg())
+    platform.enable_compile_cache()
+    assert "jax_compilation_cache_dir" not in calls
+
+    monkeypatch.setenv("DROPCLIP_COMPILE_CACHE", "/tmp/x_cache")
+    platform.enable_compile_cache()
+    assert calls["jax_compilation_cache_dir"] == "/tmp/x_cache"
+
+    calls.clear()
+    monkeypatch.setenv("DROPCLIP_COMPILE_CACHE", "0")
+    platform.enable_compile_cache()
+    assert "jax_compilation_cache_dir" not in calls
+
+    calls.clear()
+    monkeypatch.delenv("DROPCLIP_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    platform.enable_compile_cache()  # assumed-TPU process: cache on
+    assert calls["jax_compilation_cache_dir"].endswith(".jax_cache")
