@@ -200,3 +200,31 @@ def oneshot_attention_packed(q: jnp.ndarray, k: jnp.ndarray,
         interpret=interpret,
     )(q, k, v)
     return out
+
+
+def flash_attention_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           causal: bool = False) -> jnp.ndarray:
+    """Pallas TPU flash attention for sequences beyond the one-shot
+    kernel's VMEM budget: seq padded to 128 multiples with segment-id
+    masking for the pad (the XLA attention path materializes (B, H, T, T)
+    logits in HBM — the ViT-L teacher ran at ~10 TF/s on it; flash with
+    full-row q blocks measures ~15 TF/s at T=769, D=64). Inputs/outputs
+    are (B, T, H, D)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, t, h, d = q.shape
+    tp = _round_up(t, 128)
+    pad = tp - t
+    qt = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    kt = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    vt = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    seg = jnp.concatenate([jnp.zeros((b, t), jnp.int32),
+                           jnp.ones((b, pad), jnp.int32)], axis=1)
+    bs = BlockSizes(block_q=tp, block_k_major=tp, block_k=128, block_b=1,
+                    block_q_major_dkv=tp, block_k_major_dkv=tp,
+                    block_q_dkv=tp, block_k_dkv=128,
+                    block_q_dq=tp, block_k_dq=tp, block_k_major_dq=tp)
+    out = flash_attention(qt, kt, vt, segment_ids=SegmentIds(q=seg, kv=seg),
+                          causal=causal, sm_scale=d ** -0.5, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)[:, :t]

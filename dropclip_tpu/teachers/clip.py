@@ -30,6 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import flash_attention_padded as _flash_attention
 from ..ops.resize import bicubic_resize
 
 Dtype = Any
@@ -61,31 +62,6 @@ class LayerNormF32(nn.Module):
         if delta is not None:
             return add_layer_norm(x, delta, scale, bias, eps=self.epsilon)
         return layer_norm(x, scale, bias, eps=self.epsilon)
-
-
-def _flash_attention(q, k, v, causal: bool):
-    """Pallas TPU flash attention with seq padded to 128 multiples and
-    segment-id masking for the pad (the XLA attention path materializes
-    (B, H, T, T) logits in HBM — the ViT-L teacher ran at ~10 TF/s on it;
-    flash with full-row q blocks measures ~15 TF/s at T=769, D=64)."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention)
-
-    b, t, h, d = q.shape
-    tp = ((t + 127) // 128) * 128
-    pad = tp - t
-    qt = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    kt = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    vt = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    seg = jnp.concatenate([jnp.zeros((b, t), jnp.int32),
-                           jnp.ones((b, pad), jnp.int32)], axis=1)
-    bs = BlockSizes(block_q=tp, block_k_major=tp, block_k=128, block_b=1,
-                    block_q_major_dkv=tp, block_k_major_dkv=tp,
-                    block_q_dkv=tp, block_k_dkv=128,
-                    block_q_dq=tp, block_k_dq=tp, block_k_major_dq=tp)
-    out = flash_attention(qt, kt, vt, segment_ids=SegmentIds(q=seg, kv=seg),
-                          causal=causal, sm_scale=d ** -0.5, block_sizes=bs)
-    return out.transpose(0, 2, 1, 3)[:, :t]
 
 
 class MultiHeadAttention(nn.Module):

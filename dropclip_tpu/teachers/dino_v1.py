@@ -53,10 +53,19 @@ FACETS = ("query", "key", "value", "token", "attn")
 
 
 class _Attention(nn.Module):
-    """DINO v1 attention with fused qkv (facebookresearch/dino layout)."""
+    """DINO v1 attention with fused qkv (facebookresearch/dino layout).
+
+    ``need_attn`` is static per layer: only a layer whose post-softmax
+    probabilities are actually captured (facet ``attn``) pays for the
+    materialized (B, h, t, t) matrix. Every other layer takes the Pallas
+    path under ``use_flash`` — at hi-res strides t reaches thousands of
+    tokens, where the explicit matrix is both the HBM and FLOP
+    bottleneck (one-shot VMEM kernel when it fits, flash otherwise)."""
 
     heads: int
     dtype: Any = jnp.float32
+    use_flash: bool = False
+    need_attn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -65,15 +74,30 @@ class _Attention(nn.Module):
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         # (B, t, 3, h, hd) -> 3 x (B, h, t, hd): the reference hook's
         # reshape/permute exactly (dino_vit_extractor.py:188-189).
-        qkv = qkv.reshape(b, t, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        logits = jnp.einsum("bhqc,bhkc->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * hd ** -0.5
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkc->bhqc", probs.astype(self.dtype), v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        qkvh = qkv.reshape(b, t, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkvh[0], qkvh[1], qkvh[2]
+        facets = {"query": q, "key": k, "value": v}
+        if self.use_flash and not self.need_attn:
+            from ..ops.attention import (flash_attention_padded,
+                                         oneshot_attention, supports)
+
+            qt = qkv.reshape(b, t, 3, self.heads, hd)
+            qs, ks, vs = qt[:, :, 0], qt[:, :, 1], qt[:, :, 2]  # (B,t,h,hd)
+            if supports(t, hd, causal=False, itemsize=qs.dtype.itemsize):
+                out = oneshot_attention(qs, ks, vs)
+            else:
+                out = flash_attention_padded(qs, ks, vs)
+            out = out.reshape(b, t, d)
+        else:
+            logits = jnp.einsum(
+                "bhqc,bhkc->bhqk", q, k,
+                preferred_element_type=jnp.float32) * hd ** -0.5
+            probs = jax.nn.softmax(logits, axis=-1)
+            facets["attn"] = probs
+            out = jnp.einsum("bhqk,bhkc->bhqc", probs.astype(self.dtype), v)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
-        return out, {"query": q, "key": k, "value": v, "attn": probs}
+        return out, facets
 
 
 class _Block(nn.Module):
@@ -82,12 +106,16 @@ class _Block(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    use_flash: bool = False
+    need_attn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         d = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         attn_out, facets = _Attention(self.heads, dtype=self.dtype,
+                                      use_flash=self.use_flash,
+                                      need_attn=self.need_attn,
                                       name="attn")(h)
         x = x + attn_out
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -118,6 +146,7 @@ class DinoV1ViT(nn.Module):
     image_resolution: int = 224
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    use_flash: bool = False  # Pallas attention for non-captured layers
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray,
@@ -145,7 +174,13 @@ class DinoV1ViT(nn.Module):
 
         captured: Dict[Tuple[int, str], jnp.ndarray] = {}
         for i in range(self.layers):
+            # only a layer whose 'attn' facet is captured materializes
+            # the (B, h, t, t) probabilities
+            need_attn = any(layer == i and facet == "attn"
+                            for (layer, facet) in capture)
             x, facets = _Block(self.heads, self.mlp_ratio, dtype=self.dtype,
+                               use_flash=self.use_flash,
+                               need_attn=need_attn,
                                name=f"block_{i}")(x)
             for (layer, facet) in capture:
                 if layer == i:
@@ -193,11 +228,13 @@ DINO_V1_CONFIGS = {
 }
 
 
-def build_dino_v1(model_type: str, stride: int, dtype=jnp.float32
-                  ) -> DinoV1ViT:
+def build_dino_v1(model_type: str, stride: int, dtype=jnp.float32,
+                  use_flash=None) -> DinoV1ViT:
     if model_type not in DINO_V1_CONFIGS:
         raise ValueError(f"unknown DINO v1 model_type {model_type!r}")
-    return DinoV1ViT(stride=stride, dtype=dtype,
+    if use_flash is None:  # same auto-switch as the other teachers
+        use_flash = jax.default_backend() == "tpu"
+    return DinoV1ViT(stride=stride, dtype=dtype, use_flash=use_flash,
                      **DINO_V1_CONFIGS[model_type])
 
 

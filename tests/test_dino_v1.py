@@ -262,3 +262,25 @@ def test_preprocess(rng, models):
     x = ex.preprocess(img, load_size=16)
     assert x.shape == (1, 16, 20, 3)
     assert abs(float(x.mean())) < 2.0
+
+
+def test_use_flash_attn_capture_parity(rng):
+    """With use_flash=True, a layer whose 'attn' facet is captured takes
+    the explicit-probability path — identical to use_flash=False (the
+    Pallas path for non-captured layers is covered by test_attention's
+    kernel parity + TPU runs; CPU auto-switch keeps use_flash off)."""
+    import jax
+
+    from dropclip_tpu.teachers.dino_v1 import DinoV1ViT
+
+    kw = dict(width=32, layers=1, heads=4, patch_size=4, stride=2,
+              image_resolution=16)
+    px = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+    base = DinoV1ViT(use_flash=False, **kw)
+    v = base.init(jax.random.PRNGKey(0), px)
+    out0, c0 = base.apply(v, px, capture=((0, "attn"),))
+    fast = DinoV1ViT(use_flash=True, **kw)
+    out1, c1 = fast.apply(v, px, capture=((0, "attn"),))
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+    np.testing.assert_array_equal(np.asarray(c0[(0, "attn")]),
+                                  np.asarray(c1[(0, "attn")]))
