@@ -561,10 +561,18 @@ def main():
              "train": main_train, "metrics": main_metrics}
     mode = os.environ.get("BENCH_METRIC")
     if mode:
+        # timeout line must carry the MODE'S metric name — a train run
+        # that wedges must not record a bogus fusion=0.0 datapoint
+        metric_names = {"fusion": ("fused_scenes_per_sec", "scenes/sec"),
+                        "infer": ("single_view_infer_scenes_per_sec",
+                                  "scenes/sec"),
+                        "train": ("train_scenes_per_sec", "scenes/sec"),
+                        "metrics": ("val_miou", "%")}
+        m_name, m_unit = metric_names.get(mode, (mode, ""))
         done = _arm_watchdog(
             lambda: print(json.dumps(
-                {"metric": "fused_scenes_per_sec", "value": 0.0,
-                 "unit": "scenes/sec", "vs_baseline": 0.0,
+                {"metric": m_name, "value": 0.0, "unit": m_unit,
+                 "vs_baseline": 0.0,
                  "error": f"mode '{mode}' timed out (wedged device?)"}),
                 flush=True), _mode_budget_s())
         line = json.dumps(modes[mode]())

@@ -88,18 +88,31 @@ def enable_compile_cache(path: str = None) -> None:
     (gitignored). Disable with ``DROPCLIP_COMPILE_CACHE=0``; override with
     a path.
 
-    TPU-only unless a path is passed explicitly: XLA:CPU caches AOT
-    machine code and reloading it warns about target-feature mismatches
-    ("could lead to SIGILL") — measured 3x faster on the warm 8-device
-    dryrun (4m35 -> 1m31), but not worth a crash class in a correctness
-    artifact. Set DROPCLIP_COMPILE_CACHE=<dir> to opt a CPU run in."""
-    env = os.environ.get("DROPCLIP_COMPILE_CACHE", "")
-    if env.strip().lower() in ("0", "false", "no", "off"):
+    TPU-only unless opted in explicitly: XLA:CPU caches AOT machine code
+    and reloading it warns about target-feature mismatches ("could lead
+    to SIGILL") — measured 3x faster on the warm 8-device dryrun
+    (4m35 -> 1m31), but not worth a crash class in a correctness
+    artifact. "TPU" is decided WITHOUT initializing a backend: the env
+    var must not pin cpu AND libtpu must be importable (a CPU-only box
+    with JAX_PLATFORMS unset would otherwise cache CPU AOT code). Set
+    ``DROPCLIP_COMPILE_CACHE=<dir>`` (or ``=1`` for the default dir) to
+    opt a CPU run in."""
+    env = os.environ.get("DROPCLIP_COMPILE_CACHE", "").strip()
+    if env.lower() in ("0", "false", "no", "off"):
         return
+    if env.lower() in ("1", "true", "yes", "on"):
+        env, explicit_opt_in = "", True  # enable w/ default dir anywhere
+    else:
+        explicit_opt_in = bool(path or env)
     explicit = path or (env if env else None)
-    if explicit is None and os.environ.get("JAX_PLATFORMS", "").strip() \
-            .lower().startswith("cpu"):
-        return
+    if not explicit_opt_in:
+        import importlib.util
+
+        if os.environ.get("JAX_PLATFORMS", "").strip().lower() \
+                .startswith("cpu"):
+            return
+        if importlib.util.find_spec("libtpu") is None:
+            return  # no TPU runtime on this machine -> would cache CPU
     p = explicit or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache")

@@ -161,9 +161,10 @@ def _robotiq_mesh_assets() -> Tuple[np.ndarray, np.ndarray]:
     return load_obj(os.path.join(_ASSETS, "robotiq_2f_140.obj"))
 
 
-def _have_assets() -> bool:
-    return all(os.path.exists(os.path.join(_ASSETS, n)) for n in (
-        "franka_hand.obj", "franka_finger.obj", "robotiq_2f_140.obj"))
+def _have_assets(*names: str) -> bool:
+    """Per-gripper check: a stripped robotiq asset must not silently
+    downgrade the unrelated Franka gripper to its procedural fallback."""
+    return all(os.path.exists(os.path.join(_ASSETS, n)) for n in names)
 
 
 def make(gripper_type: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -171,7 +172,8 @@ def make(gripper_type: str) -> Tuple[np.ndarray, np.ndarray]:
     same names, same posing transforms, (verts, faces) instead of an o3d
     TriangleMesh."""
     if gripper_type == "franka_panda":
-        v, f = (_franka_mesh_assets() if _have_assets()
+        v, f = (_franka_mesh_assets()
+                if _have_assets("franka_hand.obj", "franka_finger.obj")
                 else _franka_mesh())
         theta = np.pi / 2  # reference :76-83
         R = np.array([
@@ -184,7 +186,8 @@ def make(gripper_type: str) -> Tuple[np.ndarray, np.ndarray]:
         v = (v - v.mean(0)) * 1.25 + v.mean(0)  # reference :85 scale
         return v, f
     if gripper_type == "robotiq_2f_140":
-        v, f = (_robotiq_mesh_assets() if _have_assets()
+        v, f = (_robotiq_mesh_assets()
+                if _have_assets("robotiq_2f_140.obj")
                 else _robotiq_mesh())
         theta = np.pi / 2  # reference :92-98
         R = np.array([

@@ -221,10 +221,19 @@ def flash_attention_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vt = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
     seg = jnp.concatenate([jnp.zeros((b, t), jnp.int32),
                            jnp.ones((b, pad), jnp.int32)], axis=1)
-    bs = BlockSizes(block_q=tp, block_k_major=tp, block_k=128, block_b=1,
-                    block_q_major_dkv=tp, block_k_major_dkv=tp,
-                    block_q_dkv=tp, block_k_dkv=128,
-                    block_q_dq=tp, block_k_dq=tp, block_k_major_dq=tp)
+    if tp <= 1024:
+        # full-row q blocks measured fastest at ViT lengths (T=769)
+        bs = BlockSizes(block_q=tp, block_k_major=tp, block_k=128,
+                        block_b=1, block_q_major_dkv=tp,
+                        block_k_major_dkv=tp, block_q_dkv=tp,
+                        block_k_dkv=128, block_q_dq=tp, block_k_dq=tp,
+                        block_k_major_dq=tp)
+    else:
+        # hi-res sequences (stride-patched DINO v1 reaches 16k+ tokens):
+        # full-row blocks would scale VMEM with T — use the library's
+        # tiled defaults, which are T-independent
+        bs = BlockSizes.get_default(batch_size=b, num_heads=h,
+                                    q_seq_len=tp, kv_len=tp, d_model=d)
     out = flash_attention(qt, kt, vt, segment_ids=SegmentIds(q=seg, kv=seg),
                           causal=causal, sm_scale=d ** -0.5, block_sizes=bs)
     return out.transpose(0, 2, 1, 3)[:, :t]

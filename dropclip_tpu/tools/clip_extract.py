@@ -12,7 +12,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 
 import numpy as np
@@ -67,8 +66,6 @@ def main() -> None:
     p.add_argument("--batch-size", type=int, default=16)
     a = p.parse_args()
 
-    import cv2
-
     from dropclip_tpu.core.config import CfgNode
     from dropclip_tpu.tools.preprocess_data import build_extractor
 
@@ -76,14 +73,15 @@ def main() -> None:
         clip_model=a.clip_model, clip_checkpoint=a.clip_checkpoint,
         visual_prompt="crop-mask", crop_num_levels=1,
         crop_expansion_ratio=0.15, batch_size=a.batch_size)))
-    files = sorted(glob.glob(a.images))
-    assert files, f"no images match {a.images}"
+    from .dino_extract import _list_images, _read_rgb
+
+    files = _list_images(a.images)
     os.makedirs(a.out, exist_ok=True)
 
     if a.mode == "tiled":
         for i, f in enumerate(files):
-            img = np.ascontiguousarray(cv2.imread(f)[:, :, ::-1])
-            feat = extract_tiled(ex, img, a.crop_size, a.tile, a.batch_size)
+            feat = extract_tiled(ex, _read_rgb(f), a.crop_size, a.tile,
+                                 a.batch_size)
             name = os.path.splitext(os.path.basename(f))[0]
             np.save(os.path.join(a.out, f"{name}.npy"), feat)
             print(f"{i + 1}/{len(files)}")
@@ -92,8 +90,7 @@ def main() -> None:
     ex.set_mode(a.mode)
     for i in range(0, len(files), a.batch_size):
         chunk = files[i: i + a.batch_size]
-        imgs = np.stack([
-            np.ascontiguousarray(cv2.imread(f)[:, :, ::-1]) for f in chunk])
+        imgs = np.stack([_read_rgb(f) for f in chunk])
         feats = np.asarray(ex.extract(imgs))
         for f, feat in zip(chunk, feats):
             name = os.path.splitext(os.path.basename(f))[0]

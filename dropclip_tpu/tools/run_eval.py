@@ -79,7 +79,10 @@ def _teacher_cache(args, scene_id: str, mode: str, names, compute):
         return compute()
     import hashlib
 
+    # dataset/root/split belong in the key: scene ids collide across
+    # datasets ('0000' is both a Synthetic and a Blender id)
     key = "|".join(str(getattr(args, k, None)) for k in (
+        "dataset", "root", "split",
         "clip_model", "clip_checkpoint", "visual_prompt",
         "crop_num_levels", "crop_expansion_ratio", "n_views",
         "max_objects"))

@@ -97,7 +97,8 @@ def test_gripper_cad_assets(monkeypatch, tmp_path):
     procedural approximations remain behind a fallback switch."""
     from dropclip_tpu.grasp import gripper
 
-    assert gripper._have_assets()
+    assert gripper._have_assets("franka_hand.obj", "franka_finger.obj",
+                                "robotiq_2f_140.obj")
     v, f = gripper.make("franka_panda")
     # real hand+2 fingers: hundreds of CAD vertices, not 24 box corners
     assert len(v) > 100 and f.max() < len(v) and f.min() >= 0
@@ -107,7 +108,7 @@ def test_gripper_cad_assets(monkeypatch, tmp_path):
     hv, _ = gripper._franka_mesh_assets()
     assert abs(hv[:, 1].max() + hv[:, 1].min()) < 0.02
     # procedural fallback still poses correctly
-    monkeypatch.setattr(gripper, "_have_assets", lambda: False)
+    monkeypatch.setattr(gripper, "_have_assets", lambda *n: False)
     pv, pf = gripper.make("franka_panda")
     assert len(pv) == 24 and pf.shape[1] == 3
 

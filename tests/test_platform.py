@@ -49,6 +49,11 @@ def test_compile_cache_gating(monkeypatch):
     assert "jax_compilation_cache_dir" not in calls
 
     calls.clear()
+    monkeypatch.setenv("DROPCLIP_COMPILE_CACHE", "1")  # enable, NOT a path
+    platform.enable_compile_cache()
+    assert calls["jax_compilation_cache_dir"].endswith(".jax_cache")
+
+    calls.clear()
     monkeypatch.delenv("DROPCLIP_COMPILE_CACHE", raising=False)
     monkeypatch.setenv("JAX_PLATFORMS", "")
     platform.enable_compile_cache()  # assumed-TPU process: cache on
