@@ -47,11 +47,16 @@ class Attention(nn.Module):
         k = k.reshape(b, t, self.heads, hd)
         v = v.reshape(b, t, self.heads, hd)
         if self.use_flash:
-            from ..ops.attention import oneshot_attention, supports
+            from ..ops.attention import (flash_attention_padded,
+                                         oneshot_attention, supports)
 
             if supports(t, hd, causal=False, itemsize=q.dtype.itemsize):
                 out = oneshot_attention(q, k, v).reshape(b, t, d)
-                return nn.Dense(d, dtype=self.dtype, name="out")(out)
+            else:
+                # hi-res grids (518px/14 -> 1370 tokens and beyond):
+                # tiled flash instead of a materialized (B, h, t, t)
+                out = flash_attention_padded(q, k, v).reshape(b, t, d)
+            return nn.Dense(d, dtype=self.dtype, name="out")(out)
         logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
                             preferred_element_type=jnp.float32) * hd ** -0.5
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
