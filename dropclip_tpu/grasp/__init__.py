@@ -3,4 +3,5 @@ ranking, gripper marker meshes."""
 
 from .grasps import (Grasp2D, SceneGrasps, SceneGrasps2D,  # noqa: F401
                      rank_grasps_by_query)
-from .gripper import create_gripper_marker, make  # noqa: F401
+from .gripper import (create_gripper_marker, load_obj,  # noqa: F401
+                      make, save_obj)
