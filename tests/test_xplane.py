@@ -57,3 +57,49 @@ def test_stem_totals(trace_dir):
 def test_missing_trace(tmp_path):
     with pytest.raises(FileNotFoundError):
         op_totals(str(tmp_path))
+
+
+@pytest.fixture()
+def cpu_trace_dir(tmp_path):
+    """XLA:CPU-shaped trace: no device plane, thunk events on the
+    tf_XLAPjRtCpuClient host line (real durations + 'end:' markers)."""
+    xs = tf.XSpace()
+    host = xs.planes.add()
+    host.name = "/host:CPU"
+    for i, name in enumerate(
+            ["fusion.9", "end: fusion.9", "dot_general.1",
+             "ThreadpoolListener::StartRegion",
+             "ThunkExecutor::Execute (wait for completion)"], start=1):
+        host.event_metadata[i].id = i
+        host.event_metadata[i].name = name
+    line = host.lines.add()
+    line.name = "tf_XLAPjRtCpuClient/123"
+    for mid, ps in ((1, 2_000_000), (2, 1_000), (3, 5_000_000),
+                    (4, 9_000_000), (5, 9_000_000)):
+        ev = line.events.add()
+        ev.metadata_id = mid
+        ev.duration_ps = ps
+    other = host.lines.add()  # non-client host line must be ignored
+    other.name = "python"
+    ev = other.events.add()
+    ev.metadata_id = 1
+    ev.duration_ps = 10**9
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    (d / "host.xplane.pb").write_bytes(xs.SerializeToString())
+    return str(tmp_path)
+
+
+def test_cpu_thunk_fallback(cpu_trace_dir):
+    totals = op_totals(cpu_trace_dir)  # no device plane -> host thunks
+    assert set(totals) == {"fusion.9", "dot_general.1"}
+    np.testing.assert_allclose(totals["fusion.9"], 2e-6)
+    np.testing.assert_allclose(totals["dot_general.1"], 5e-6)
+    stems = stem_totals(totals)
+    assert set(stems) == {"fusion", "dot_general"}
+
+
+def test_device_plane_beats_host_fallback(trace_dir):
+    # auto-detect must pick the TPU plane when one exists
+    totals = op_totals(trace_dir, device=None)
+    assert len(totals) == 3
