@@ -76,34 +76,14 @@ def main_infer():
     smoke = os.environ.get("BENCH_SMOKE") == "1"
     b, m = (2, 256) if smoke else (8, 8192)
     rng = np.random.RandomState(0)
-    coords_list, mask_list = [], []
-    n_occ = 128 if smoke else 6000  # ~MAX_POINTS=10000 pts after voxel dedup
-    ext = 8 if smoke else 40        # tabletop ~±40 voxels at 5 cm (SURVEY §6)
-    for _ in range(b):
-        # surface-like scene: table plane + object shells (matches the
-        # brick clustering of real MV-TOD clouds)
-        xy = rng.randint(-ext, ext, size=(3 * n_occ, 2))
-        z = rng.randint(0, 2, size=(3 * n_occ, 1))
-        plane = np.concatenate([xy, z], axis=1)
-        blobs = []
-        for _ in range(6):
-            c = rng.randint(-ext + 6, ext - 6, size=3)
-            c[2] = rng.randint(2, 8)
-            th = rng.randn(n_occ // 4, 3)
-            th /= np.linalg.norm(th, axis=1, keepdims=True)
-            blobs.append((c + th * rng.randint(3, 6)).astype(int))
-        pts = np.concatenate([plane] + blobs).astype(np.int32)
-        uniq = np.unique(pts, axis=0)
-        rng.shuffle(uniq)
-        uniq = uniq[:n_occ]
-        coords = np.zeros((m, 3), np.int32)
-        coords[: len(uniq)] = uniq
-        mask = np.zeros((m,), bool)
-        mask[: len(uniq)] = True
-        coords_list.append(coords)
-        mask_list.append(mask)
-    coords = jnp.asarray(np.stack(coords_list))
-    mask = jnp.asarray(np.stack(mask_list))
+    # surface-like scenes: table plane + object shells (matches the brick
+    # clustering of real MV-TOD clouds). n_occ ~ MAX_POINTS=10000 after
+    # voxel dedup; ext ~ tabletop ±40 voxels at 5 cm (SURVEY §6)
+    from dropclip_tpu.data.synthetic import make_tabletop_coords
+    coords_np, mask_np = make_tabletop_coords(
+        rng, b, m, n_occ=128 if smoke else 6000, ext=8 if smoke else 40)
+    coords = jnp.asarray(coords_np)
+    mask = jnp.asarray(mask_np)
     feats = (jnp.asarray(rng.randn(b, m, 6).astype(np.float32))
              * mask[..., None]).astype(jnp.bfloat16)
 
@@ -406,12 +386,21 @@ def main_metrics():
 
     clip_sim = _WhitenedSim(base_sim, ["table"] + names)
 
-    root = "/tmp/bench_metrics_ds"
+    # per-process root: two concurrent bench runs (driver + a user sweep)
+    # sharing one path would rmtree each other's scenes mid-train
+    root = f"/tmp/bench_metrics_ds_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
-    rng = np.random.default_rng(0)
     n_objects = 4
-    n_train, n_test = (2, 1) if smoke else (8, 4)
-    for split, ns in (("train", n_train), ("test", n_test)):
+    # BENCH_METRICS_TRAIN_SCENES: recipe-sweep override (val/train loss
+    # gap says generalization — scene count is the lever). Each split
+    # draws from its OWN fixed-seed rng so sweeping the train-scene
+    # count leaves the val set bit-identical (a shared rng made the
+    # 8-vs-16 sweep incomparable: the extra train draws shifted the
+    # test scenes, and the fusion upper bound moved 97.2 -> 94.3).
+    n_train, n_test = (2, 1) if smoke else (
+        int(os.environ.get("BENCH_METRICS_TRAIN_SCENES", 8)), 4)
+    for split, ns, rng in (("train", n_train, np.random.default_rng(0)),
+                           ("test", n_test, np.random.default_rng(1))):
         for s in range(ns):
             raw = make_raw_scene(rng, n_objects=n_objects,
                                  n_points_per_obj=120, n_views=4)
@@ -452,6 +441,9 @@ def main_metrics():
         # negative on this tiny-synthetic loop: aug -13 pts, wd 1e-4 +0.3,
         # dropout 0.1 -0.2, 2x width +0.5 (and 2x width at 200 epochs
         # -1.6 mIoU / +12.5 Pr@75 — width trades the headline for tails).
+        # (Those sweeps used the old shared-rng splits; on the current
+        # per-split rngs the default recipe measures 74.3 mIoU / 0.76x
+        # the 97.7 upper bound — the val DRAW changed, not the model.)
         base_lr=1e-2, min_lr=1e-3, epochs=8 if smoke else 200,
         weight_decay=1e-5, max_norm=5.0, remat=False,
         brick_shape=[4, 4, 2]))
@@ -518,6 +510,7 @@ def main_metrics():
     res = validate_grounding(val_batches, student_forward, clip_sim, cfg)
     ub = validate_grounding(val_batches, upper_forward, clip_sim, cfg)
     print(f"# metrics e2e: student {res} | upper-bound {ub}", flush=True)
+    shutil.rmtree(root, ignore_errors=True)
     return {
         "metric": "val_miou", "value": round(res["mIoU"], 2), "unit": "%",
         # baseline for this synthetic loop = the fusion upper bound
@@ -553,13 +546,63 @@ def _mode_budget_s() -> float:
     return float(os.environ.get("BENCH_MODE_TIMEOUT", 1800))
 
 
+def _probe_device_or_reexec_cpu():
+    """Fail fast on a wedged TPU tunnel instead of burning the watchdog
+    budget per mode. A tiny dispatch in a SUBPROCESS (a wedged dispatch
+    cannot be interrupted in-process) must round-trip within
+    BENCH_PROBE_TIMEOUT (healthy tunnel: 3-15 s incl. init; the tunnel
+    has been observed wedged for >12 h at a stretch). On failure the
+    bench re-execs itself on CPU with BENCH_DEVICE_WEDGED=1 so the
+    device-speed modes are skipped with error markers and the metrics
+    mode (a quality number — valid on any backend) still reports."""
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_DEVICE_WEDGED"):
+        return True  # already in the fallback exec
+    import jax
+
+    # config check only — initializing the axon client in THIS process
+    # before knowing the tunnel is healthy is exactly the hang we probe for
+    if jax.config.jax_platforms == "cpu":
+        return False  # nothing to probe; CPU cannot wedge
+    budget = float(os.environ.get("BENCH_PROBE_TIMEOUT", 180))
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax.numpy as jnp; print(float(jnp.arange(8).sum()))"],
+            timeout=budget, check=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)) or ".",
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return False
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"# bench: device probe failed ({e.__class__.__name__}, "
+              f"{budget:.0f}s budget) — wedged tunnel? falling back to "
+              "CPU for quality-only metrics", flush=True)
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu", BENCH_DEVICE_WEDGED="1")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
+
+
 def main():
     """One JSON line. BENCH_METRIC selects a single mode; unset runs ALL
     modes and emits the combined headline (fusion is the lead metric —
     BASELINE.json's ">10x fused scenes/sec")."""
     modes = {"fusion": main_fusion, "infer": main_infer,
              "train": main_train, "metrics": main_metrics}
+    wedged = _probe_device_or_reexec_cpu()
     mode = os.environ.get("BENCH_METRIC")
+    if wedged and mode and mode != "metrics":
+        # device-speed numbers on the CPU fallback would be garbage —
+        # report the wedge instead
+        print(json.dumps({"metric": mode, "value": 0.0, "unit": "",
+                          "vs_baseline": 0.0,
+                          "error": "device wedged; no CPU fallback for "
+                                   "device-speed modes"}), flush=True)
+        return
+    if wedged:
+        modes = {"metrics": main_metrics}
     if mode:
         # timeout line must carry the MODE'S metric name — a train run
         # that wedges must not record a bogus fusion=0.0 datapoint
@@ -603,7 +646,9 @@ def main():
                "unit": "scenes/sec",
                "vs_baseline": lead["vs_baseline"] if lead else 0.0}
         if lead is None:
-            out["error"] = "fusion mode failed"
+            out["error"] = ("device wedged; CPU fallback ran quality "
+                            "metrics only" if wedged else
+                            "fusion mode failed")
         for mode, keys in extra_keys.items():
             if mode in results:
                 for k, src in keys.items():
