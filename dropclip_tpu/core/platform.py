@@ -128,9 +128,11 @@ def enable_compile_cache(path: str = None) -> None:
         pass  # older jax without the knobs: cache is an optimization only
 
 
-def env_flag(name: str) -> bool:
-    """Boolean env-var flag. ``VAR=0`` / ``false`` / ``no`` / ``off`` /
-    unset are OFF — ``bool(os.environ.get(...))`` would treat "0" as ON,
-    which silently inverts A/B control arms."""
-    return os.environ.get(name, "").strip().lower() not in (
-        "", "0", "false", "no", "off")
+def env_flag(name: str, default: bool = False) -> bool:
+    """Boolean env-var flag. ``VAR=0`` / ``false`` / ``no`` / ``off`` are
+    OFF, unset falls back to ``default`` — ``bool(os.environ.get(...))``
+    would treat "0" as ON, which silently inverts A/B control arms."""
+    raw = os.environ.get(name, "").strip().lower()
+    if not raw:
+        return default
+    return raw not in ("0", "false", "no", "off")

@@ -94,14 +94,14 @@ class MultiHeadAttention(nn.Module):
             # packed-layout one-shot kernel consumes the projection
             # matmul outputs directly — the (B,T,H,D)->(B*H,T,D)
             # transposes + pads XLA materializes around the per-head
-            # kernel were ~150 ms of the 571 ms ViT-L teacher chunk
-            # (PERF.md); per-head one-shot and flash remain as fallbacks
-            # opt-in until Mosaic-verified on real TPU (partial tail
-            # blocks): a compile rejection here would take down every
-            # teacher path including the driver's bench
+            # kernel were ~150 ms of the 571 ms ViT-L teacher chunk.
+            # Hardware A/B (PERF.md): 580 -> 429 ms on the 96-crop chunk,
+            # bit-identical outputs — default ON (DROPCLIP_PACKED_ATTN=0
+            # restores the per-head kernel); per-head one-shot and flash
+            # remain as fallbacks for unsupported shapes
             if (supports_packed(t, self.heads, hd, causal,
                                 itemsize=qp.dtype.itemsize)
-                    and env_flag("DROPCLIP_PACKED_ATTN")):
+                    and env_flag("DROPCLIP_PACKED_ATTN", default=True)):
                 return self.out_proj(
                     oneshot_attention_packed(qp, kp, vp, self.heads))
         q = qp.reshape(b, t, self.heads, hd)

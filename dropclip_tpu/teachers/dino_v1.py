@@ -78,16 +78,29 @@ class _Attention(nn.Module):
         q, k, v = qkvh[0], qkvh[1], qkvh[2]
         facets = {"query": q, "key": k, "value": v}
         if self.use_flash and not self.need_attn:
+            from ..core.platform import env_flag
             from ..ops.attention import (flash_attention_padded,
-                                         oneshot_attention, supports)
+                                         oneshot_attention,
+                                         oneshot_attention_packed, supports,
+                                         supports_packed)
 
             qt = qkv.reshape(b, t, 3, self.heads, hd)
-            qs, ks, vs = qt[:, :, 0], qt[:, :, 1], qt[:, :, 2]  # (B,t,h,hd)
-            if supports(t, hd, causal=False, itemsize=qs.dtype.itemsize):
-                out = oneshot_attention(qs, ks, vs)
+            if (supports_packed(t, self.heads, hd, causal=False,
+                                itemsize=qkv.dtype.itemsize)
+                    and env_flag("DROPCLIP_PACKED_ATTN", default=True)):
+                # packed layout: (B, t, H*D) slabs straight out of the
+                # fused qkv projection — no head transposes around the
+                # kernel (CLIP-tower hardware A/B: 580 -> 429 ms, PERF.md)
+                qkv3 = qkv.reshape(b, t, 3, d)
+                out = oneshot_attention_packed(
+                    qkv3[:, :, 0], qkv3[:, :, 1], qkv3[:, :, 2], self.heads)
             else:
-                out = flash_attention_padded(qs, ks, vs)
-            out = out.reshape(b, t, d)
+                qs, ks, vs = qt[:, :, 0], qt[:, :, 1], qt[:, :, 2]  # (B,t,h,hd)
+                if supports(t, hd, causal=False, itemsize=qs.dtype.itemsize):
+                    out = oneshot_attention(qs, ks, vs)
+                else:
+                    out = flash_attention_padded(qs, ks, vs)
+                out = out.reshape(b, t, d)
         else:
             logits = jnp.einsum(
                 "bhqc,bhkc->bhqk", q, k,

@@ -40,16 +40,28 @@ class Attention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, d = x.shape
         hd = d // self.heads
-        q = nn.Dense(d, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(d, dtype=self.dtype, name="value")(x)
-        q = q.reshape(b, t, self.heads, hd)
-        k = k.reshape(b, t, self.heads, hd)
-        v = v.reshape(b, t, self.heads, hd)
+        qp = nn.Dense(d, dtype=self.dtype, name="query")(x)
+        kp = nn.Dense(d, dtype=self.dtype, name="key")(x)
+        vp = nn.Dense(d, dtype=self.dtype, name="value")(x)
         if self.use_flash:
+            from ..core.platform import env_flag
             from ..ops.attention import (flash_attention_padded,
-                                         oneshot_attention, supports)
+                                         oneshot_attention,
+                                         oneshot_attention_packed, supports,
+                                         supports_packed)
 
+            # packed layout consumes the projection outputs directly —
+            # no (B,T,H,D) transposes around the kernel (hardware A/B on
+            # the CLIP tower: 580 -> 429 ms per 96-crop chunk, PERF.md)
+            if (supports_packed(t, self.heads, hd, causal=False,
+                                itemsize=qp.dtype.itemsize)
+                    and env_flag("DROPCLIP_PACKED_ATTN", default=True)):
+                out = oneshot_attention_packed(qp, kp, vp, self.heads)
+                return nn.Dense(d, dtype=self.dtype, name="out")(out)
+        q = qp.reshape(b, t, self.heads, hd)
+        k = kp.reshape(b, t, self.heads, hd)
+        v = vp.reshape(b, t, self.heads, hd)
+        if self.use_flash:
             if supports(t, hd, causal=False, itemsize=q.dtype.itemsize):
                 out = oneshot_attention(q, k, v).reshape(b, t, d)
             else:

@@ -19,6 +19,20 @@ def test_env_flag_on_values(monkeypatch):
         assert platform.env_flag("DROPCLIP_TEST_FLAG") is True, v
 
 
+def test_env_flag_default(monkeypatch):
+    # default-on flags (DROPCLIP_PACKED_ATTN): unset/empty fall back to
+    # the default, explicit off-values still win
+    monkeypatch.delenv("DROPCLIP_TEST_FLAG", raising=False)
+    assert platform.env_flag("DROPCLIP_TEST_FLAG", default=True) is True
+    monkeypatch.setenv("DROPCLIP_TEST_FLAG", "")
+    assert platform.env_flag("DROPCLIP_TEST_FLAG", default=True) is True
+    for v in ("0", "false", "off", "no"):
+        monkeypatch.setenv("DROPCLIP_TEST_FLAG", v)
+        assert platform.env_flag("DROPCLIP_TEST_FLAG", default=True) is False
+    monkeypatch.setenv("DROPCLIP_TEST_FLAG", "1")
+    assert platform.env_flag("DROPCLIP_TEST_FLAG", default=True) is True
+
+
 def test_compile_cache_gating(monkeypatch):
     # default: TPU-only — a cpu-pinned process must NOT get a cache dir
     # (XLA:CPU AOT reload risks SIGILL); explicit path opts in anywhere
