@@ -174,7 +174,16 @@ def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     if not use_pallas:
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        if env_flag("DROPCLIP_ONEPASS_LN"):
+            # one-pass stats: E[x^2] - mean^2 lets XLA compute both
+            # reductions from a single read of the activation stream
+            # (the two-pass form re-reads it to center before the var
+            # reduce). f32 cancellation error is ~(mean^2/var)*2^-24
+            # relative — orders below the bf16 output ulp at LN scales.
+            m2 = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+        else:
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + eps)
         return (y * scale + bias).astype(x.dtype)
     lead = x.shape[:-1]

@@ -41,6 +41,27 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _gemm_ln_barrier(x: jnp.ndarray) -> jnp.ndarray:
+    """Fusion fence between a sublayer's output projection and the
+    residual-add + next-LN stats (A/B knob: DROPCLIP_SPLIT_GEMM_LN).
+
+    Measured a WASH on hardware (433 vs 428 ms on the 96-crop ViT-L
+    chunk): the fat `convert_reduce_fusion`s XLA builds here LOOK like
+    slow LN ops in a profile, but they contain the out_proj/c_proj GEMMs
+    running near roofline — fencing just relabels the time
+    (convert_reduce 206 -> 32 ms while convolution_add grows 65 -> 162
+    and %fusion 8 -> 96). Total GEMM FLOPs (~44.5 TF/chunk ≈ 320 ms at
+    the measured MXU rate) + the VPU-bound attention (105 ms) account
+    for the whole chunk: the teacher is AT its envelope. Kept off by
+    default; useful for profile attribution (it splits LN time from GEMM
+    time honestly)."""
+    from ..core.platform import env_flag
+
+    if env_flag("DROPCLIP_SPLIT_GEMM_LN"):
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 class LayerNormF32(nn.Module):
     """LayerNorm computed in float32, result cast back to the input dtype
     (parity with the reference's fp16-safe LayerNorm, model.py:180-187).
@@ -141,8 +162,9 @@ class ResidualAttentionBlock(nn.Module):
         self.c_proj = nn.Dense(self.width, dtype=self.dtype, name="c_proj")
 
     def __call__(self, x: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
-        x = x + self.attn(self.ln_1(x), causal=causal)
-        return x + self.c_proj(quick_gelu(self.c_fc(self.ln_2(x))))
+        x = x + _gemm_ln_barrier(self.attn(self.ln_1(x), causal=causal))
+        return x + _gemm_ln_barrier(
+            self.c_proj(quick_gelu(self.c_fc(self.ln_2(x)))))
 
     def fused_call(self, res: jnp.ndarray, delta, causal: bool = False):
         """Fused-stream form: the logical input is ``res + delta`` (delta
