@@ -65,9 +65,18 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, t: int, scale: float):
     o_ref[0] = (o * (1.0 / den)).astype(o_ref.dtype)
 
 
-# conservative VMEM budget for the per-program working set (f32 scores +
-# input-dtype probs + q/k/v/out blocks, double-buffered by the pipeline)
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Per-program working-set budgets (f32 scores + input-dtype probs +
+# q/k/v/out blocks, double-buffered by the pipeline), calibrated against
+# Mosaic's actual compile ceiling on v5e (r2): the per-head kernel
+# compiles and runs at tq=1920 (need 24.1 MB, one-shot beats flash 29.6
+# vs 31.2 ms there) but fails at tq=2048 (27.3 MB); the packed kernel
+# compiles at tq=1408 (13.3 MB, 31.0 ms vs flash 34.5) but fails at
+# tq=1664 (18.3 MB — its head-group blocks and masked k/v copies sit on
+# top of the score matrix). Budgets sit just above the verified-good
+# points so mid-length sequences (hi-res DINO grids, 518 px DINOv2)
+# take the faster one-shot path instead of tiled flash.
+_VMEM_BUDGET = 25 * 1024 * 1024
+_VMEM_BUDGET_PACKED = 14 * 1024 * 1024
 
 
 def supports(t: int, d: int, causal: bool, itemsize: int = 2) -> bool:
@@ -165,7 +174,7 @@ def supports_packed(t: int, heads: int, d: int, causal: bool,
     need = (tq * tq * (4 + itemsize)            # scores f32 + probs
             + 2 * 4 * tq * group * d * itemsize)  # q/k/v/o double-buffered
     return (not causal and heads % group == 0 and d % 8 == 0
-            and group * d % 128 == 0 and need <= _VMEM_BUDGET)
+            and group * d % 128 == 0 and need <= _VMEM_BUDGET_PACKED)
 
 
 def oneshot_attention_packed(q: jnp.ndarray, k: jnp.ndarray,

@@ -41,6 +41,11 @@ def test_supports():
     assert supports(769, 64, causal=False)   # the CLIP ViT hot shape
     assert not supports(769, 64, causal=True)
     assert not supports(8192, 64, causal=False)  # scores exceed VMEM
+    # Mosaic-calibrated boundary (PERF.md): tq=1920 compiles on v5e,
+    # tq=2048 does not — 518px DINOv2 grids (t=1370) and mid-length
+    # DINO v1 strides take one-shot instead of tiled flash
+    assert supports(1800, 64, causal=False)
+    assert not supports(2048, 64, causal=False)
 
 
 def test_bf16(rng):
