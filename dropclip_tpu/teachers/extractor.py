@@ -118,6 +118,20 @@ class ClipExtractor:
             raise ValueError("Set mode to either ['cls', 'patch']")
         self.mode = mode
 
+    def on_device(self, device) -> "ClipExtractor":
+        """A view of this extractor pinned to ``device``.
+
+        Shares the (stateless) jitted callables and config; only the
+        parameter pytree is replicated onto the target chip. Every method
+        passes ``self.variables`` as a jit argument, so calls dispatch on
+        the replica's device — the multi-device ingest path gives each
+        worker thread one replica (tools/preprocess_data.py)."""
+        import copy
+
+        rep = copy.copy(self)
+        rep.variables = jax.device_put(self.variables, device)
+        return rep
+
     def extract(self, images) -> jnp.ndarray:
         """Images (V, H, W, 3) uint8 -> (V, C) cls features or
         (V, ph, pw, C) patch features, batched (reference extractor.py:

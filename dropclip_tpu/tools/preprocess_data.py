@@ -100,7 +100,7 @@ class SceneWriter:
 
 
 def stage_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
-                poses: np.ndarray, K: np.ndarray) -> Dict:
+                poses: np.ndarray, K: np.ndarray, device=None) -> Dict:
     """Ship one scene's arrays host->device in the smallest wire dtypes.
 
     The host link is the ingest bottleneck (~25-55 MB/s through the
@@ -109,14 +109,19 @@ def stage_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
     <256 instances). ``jax.device_put`` is ASYNCHRONOUS: call this one
     scene AHEAD of ``process_scene`` and the transfer rides under the
     previous scene's compute (see run_blender / bench.py).
+
+    ``device`` pins the scene to a specific chip (multi-device ingest:
+    every downstream jit follows its committed inputs, so one staged
+    scene keeps a whole scene's pipeline on its device).
     """
     assert int(np.max(segs)) < 256, "seg ids must fit uint8"
+    put = lambda x: jax.device_put(x, device)
     return dict(
-        images=jax.device_put(np.asarray(images, np.uint8)),
-        depths=jax.device_put(np.asarray(depths, np.float16)),
-        segs=jax.device_put(np.asarray(segs, np.uint8)),
-        poses=jax.device_put(np.asarray(poses, np.float32)),
-        K=jax.device_put(np.asarray(K, np.float32)))
+        images=put(np.asarray(images, np.uint8)),
+        depths=put(np.asarray(depths, np.float16)),
+        segs=put(np.asarray(segs, np.uint8)),
+        poses=put(np.asarray(poses, np.float32)),
+        K=put(np.asarray(K, np.float32)))
 
 
 def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
@@ -245,7 +250,7 @@ def run_blender(args) -> None:
     # scene i's device compute instead of serializing with it
     from concurrent.futures import ThreadPoolExecutor
 
-    def load_one(sid: int):
+    def load_one(sid: int, device=None):
         scene_id = f"{sid:06d}"
         out_path = os.path.join(args.out, args.split, scene_id,
                                 f"{scene_id}.h5py")
@@ -267,8 +272,14 @@ def run_blender(args) -> None:
             obj_info=scene["objects_info"], out_path=out_path,
             voxel_size=args.voxel_size * scene["world_scale"])
         kw["staged"] = stage_scene(kw["images"], kw["depths"],
-                                   kw["segs"], kw["poses"], kw["K"])
+                                   kw["segs"], kw["poses"], kw["K"],
+                                   device=device)
         return (scene_id, kw)
+
+    if getattr(args, "n_devices", 1) > 1:
+        _run_multidevice(extractor, load_one, range(args.start, end),
+                         args.n_devices)
+        return
 
     with ThreadPoolExecutor(1) as loader, SceneWriter() as writer:
         pending = None  # realized (scene_id, kwargs), staged, ready to run
@@ -284,24 +295,76 @@ def run_blender(args) -> None:
         # exiting the with-blocks joins the last h5 write
 
 
+def _run_multidevice(extractor: ClipExtractor, load_one, sids,
+                     n_devices: int) -> None:
+    """Single-host multi-chip ingest: scenes round-robin over local devices.
+
+    The reference parallelizes ingest with a spawn Pool of CUDA processes
+    (preprocess_data.py:728-730); TPU-native, one process owns every local
+    chip, so parallelism is D worker THREADS, each pinned to one device
+    via its staged inputs + a parameter replica (``ClipExtractor.
+    on_device``). Scenes are independent — no collectives — and one
+    worker's host work (decode, h5 write, result fetch) overlaps the
+    other workers' device compute. Throughput scales ~linearly with
+    chips (scene times are device-bound, PERF.md).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    devices = jax.local_devices()
+    nd = min(n_devices, len(devices))
+    if nd < n_devices:
+        print(f"WARNING: --n-devices {n_devices} > {len(devices)} local "
+              f"devices; using {nd}", flush=True)
+    replicas = [extractor.on_device(d) for d in devices[:nd]]
+    sids = list(sids)
+
+    def worker(wi: int) -> None:
+        with SceneWriter() as writer:
+            for sid in sids[wi::nd]:
+                loaded = load_one(sid, device=devices[wi])
+                if loaded is None:
+                    continue
+                scene_id, kw = loaded
+                stats = process_scene(extractor=replicas[wi], writer=writer,
+                                      **kw)
+                print(f"{scene_id} [dev{wi}]: {stats}", flush=True)
+
+    with ThreadPoolExecutor(nd) as pool:
+        futs = [pool.submit(worker, wi) for wi in range(nd)]
+        for f in futs:
+            f.result()  # re-raise worker failures
+
+
 def run_synthetic(args) -> None:
     """Full-pipeline smoke run on procedurally generated raw scenes."""
     from ..data.synthetic import make_raw_scene
 
     extractor = build_extractor(args)
-    rng = np.random.default_rng(0)
-    for sid in range(args.n_scenes):
+
+    def load_one(sid: int, device=None):
         scene_id = f"{sid:06d}"
         out_path = os.path.join(args.out, args.split, scene_id,
                                 f"{scene_id}.h5py")
-        raw = make_raw_scene(rng, n_objects=3, n_views=args.n_views)
-        info = {k: (v if k > 0 else "table")
-                for k, v in raw["objects_info"].items()}
-        stats = process_scene(
-            images=raw["images"], depths=raw["depths"], segs=raw["segs"],
-            poses=raw["poses"], K=raw["K"], obj_info=raw["objects_info"],
-            extractor=extractor, out_path=out_path,
-            voxel_size=args.voxel_size, cloud_capacity=4096)
+        # per-scene rng: identical scenes regardless of worker interleaving
+        raw = make_raw_scene(np.random.default_rng(sid), n_objects=3,
+                             n_views=args.n_views)
+        kw = dict(images=raw["images"], depths=raw["depths"],
+                  segs=raw["segs"], poses=raw["poses"], K=raw["K"],
+                  obj_info=raw["objects_info"], out_path=out_path,
+                  voxel_size=args.voxel_size, cloud_capacity=4096)
+        if device is not None:
+            kw["staged"] = stage_scene(kw["images"], kw["depths"],
+                                       kw["segs"], kw["poses"], kw["K"],
+                                       device=device)
+        return (scene_id, kw)
+
+    if getattr(args, "n_devices", 1) > 1:
+        _run_multidevice(extractor, load_one, range(args.n_scenes),
+                         args.n_devices)
+        return
+    for sid in range(args.n_scenes):
+        scene_id, kw = load_one(sid)
+        stats = process_scene(extractor=extractor, **kw)
         print(f"{scene_id}: {stats}")
 
 
@@ -493,6 +556,9 @@ def main() -> None:
     p.add_argument("--crop-expansion-ratio", type=float, default=0.15)
     p.add_argument("--n-scenes", type=int, default=4, help="synthetic only")
     p.add_argument("--n-views", type=int, default=4, help="synthetic only")
+    p.add_argument("--n-devices", type=int, default=1,
+                   help="local chips to ingest on concurrently (scenes "
+                        "round-robin over devices; Blender + Synthetic)")
     args = p.parse_args()
     if args.dataset == "Blender":
         assert args.root, "-r/--root required for Blender"
