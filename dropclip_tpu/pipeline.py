@@ -14,6 +14,12 @@ One jitted program per (capacity, query-count) bucket covers voxelize ->
 student forward -> paired-softmax grounding; text embeddings are cached
 per prompt. Measured end-to-end p50 10.3 ms/scene at batch 8 on one v5e
 chip (bench.py BENCH_METRIC=infer).
+
+Throughput serving: ``ground_batch(clouds, rgbs, queries, mesh=mesh)``
+runs B scenes in one program and shards the scene batch over the mesh's
+``data`` axis (a v5e slice serves B scenes per step with zero
+collectives — scenes are independent). Verified batch == per-scene on a
+virtual device mesh (tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -28,6 +34,24 @@ import jax.numpy as jnp
 from .data.voxelize_np import sparse_quantize_np
 from .distill.engine import build_student_for
 from .similarity import NEGATIVE_PROMPT_GENERIC, predict_from_embeddings
+
+
+def _ground_batched(feats, vmask, qpos, qneg, method: str, threshold):
+    """(B, cap, C) x (Q, C) -> ((B, Q, cap) masks, (B, Q, cap) sims), one
+    jitted program (vmap over scenes x queries); sharded inputs keep
+    their sharding — the grounding math is elementwise over the batch."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("method",))
+    def run(feats, vmask, qpos, qneg, threshold, method):
+        def one_scene(f, m):
+            def one_q(p):
+                return predict_from_embeddings(
+                    f, p, qneg, mask=m, method=method, threshold=threshold)
+            return jax.vmap(one_q)(qpos)
+        return jax.vmap(one_scene)(feats, vmask)
+
+    return run(feats, vmask, qpos, qneg, threshold, method=method)
 
 
 class GroundingPipeline:
@@ -107,6 +131,23 @@ class GroundingPipeline:
         """(N, 3) world points (+ optional (N, 3) colors in [0, 1]) ->
         (per-voxel features (cap, C), voxel validity (cap,), vox record
         with the inverse map back to input points)."""
+        vox, in_feats = self._host_voxelize(xyz, rgb)
+        out, dropped = self._forward(
+            self.variables, jnp.asarray(vox.coords[None]),
+            jnp.asarray(vox.mask[None]), jnp.asarray(in_feats[None]))
+        self.last_dropped = int(dropped)
+        if self.last_dropped:
+            import logging
+
+            logging.getLogger("dropclip").warning(
+                "GroundingPipeline: %d voxels dropped (brick capacity / "
+                "grid extent overflow) — grounding masks will miss that "
+                "geometry; raise brick_capacities or grid_bits",
+                self.last_dropped)
+        return out[0], vox.mask, vox
+
+    def _host_voxelize(self, xyz: np.ndarray,
+                       rgb: Optional[np.ndarray]):
         xyz = np.asarray(xyz, np.float32)
         centered = xyz - xyz.mean(axis=0)
         vox = sparse_quantize_np(centered, self.voxel_size, self.capacity)
@@ -118,20 +159,73 @@ class GroundingPipeline:
             in_feats = np.concatenate([pos, col], axis=-1)
         else:
             in_feats = pos
-        out, dropped = self._forward(
-            self.variables, jnp.asarray(vox.coords[None]),
-            jnp.asarray(vox.mask[None]), jnp.asarray(in_feats[None],
-                                                     jnp.float32))
-        self.last_dropped = int(dropped)
-        if self.last_dropped:
-            import logging
+        return vox, in_feats.astype(np.float32)
 
-            logging.getLogger("dropclip").warning(
-                "GroundingPipeline: %d voxels dropped (brick capacity / "
-                "grid extent overflow) — grounding masks will miss that "
-                "geometry; raise brick_capacities or grid_bits",
-                self.last_dropped)
-        return out[0], vox.mask, vox
+    def ground_batch(self, clouds: Sequence[np.ndarray],
+                     rgbs: Optional[Sequence[Optional[np.ndarray]]],
+                     queries: Sequence[str],
+                     negatives: Optional[List[str]] = None,
+                     threshold: Optional[float] = None,
+                     per_point: bool = True, mesh=None):
+        """Throughput serving: B scenes x shared queries in ONE program.
+
+        With ``mesh`` (any `jax.sharding.Mesh` with a ``data`` axis) the
+        scene batch shards over the axis — the pipeline's multi-chip
+        mode for a v5e slice; scenes are independent so the program has
+        no collectives and scales linearly. B pads up to a multiple of
+        the axis size (padded scenes are copies, results sliced off).
+        Returns (masks, sims) stacked per scene: (B, Q, N_i) semantics as
+        a list of per-scene arrays when ``per_point`` (input clouds may
+        differ in length), else arrays of shape (B, Q, cap).
+        """
+        b_real = len(clouds)
+        rgbs = rgbs if rgbs is not None else [None] * b_real
+        voxes, feats_in = zip(*[self._host_voxelize(x, r)
+                                for x, r in zip(clouds, rgbs)])
+        coords = np.stack([v.coords for v in voxes])
+        vmask = np.stack([v.mask for v in voxes])
+        in_feats = np.stack(feats_in)
+        variables = self.variables
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            n = mesh.shape["data"]
+            pad = (-b_real) % n
+            if pad:
+                rep = lambda a: np.concatenate(
+                    [a, np.repeat(a[-1:], pad, axis=0)])
+                coords, vmask, in_feats = map(rep, (coords, vmask, in_feats))
+            shard = NamedSharding(mesh, P("data"))
+            coords, vmask, in_feats = (
+                jax.device_put(coords, shard), jax.device_put(vmask, shard),
+                jax.device_put(in_feats, shard))
+            variables = jax.device_put(
+                variables, NamedSharding(mesh, P()))  # replicate params
+        out, dropped = self._forward(variables, jnp.asarray(coords),
+                                     jnp.asarray(vmask),
+                                     jnp.asarray(in_feats))
+        self.last_dropped = int(dropped)
+        neg = self.clip_sim.encode_text(
+            negatives if negatives else NEGATIVE_PROMPT_GENERIC)
+        qpos = jnp.stack([self.clip_sim.encode_text([q])[0]
+                          for q in queries])
+        thr = threshold if threshold is not None \
+            else float(self.cfg.sim_norm_thresh or 0.75)
+        masks, sims = _ground_batched(out, jnp.asarray(vmask), qpos, neg,
+                                      self.cfg.sim_method or "paired", thr)
+        masks = np.asarray(masks)[:b_real]
+        sims = np.asarray(sims)[:b_real]
+        if not per_point:
+            return masks, sims
+        out_masks = []
+        for i, vox in enumerate(voxes):
+            inv = vox.inverse_map
+            valid = inv >= 0
+            m = np.zeros((len(queries), len(inv)), bool)
+            m[:, valid] = masks[i][:, inv[valid]]
+            out_masks.append(m)
+        return out_masks, sims
 
     def ground(self, xyz: np.ndarray, rgb: Optional[np.ndarray],
                queries: Sequence[str],

@@ -61,3 +61,30 @@ def test_ground_end_to_end(rng, pipe):
     # prompt cache reuse does not change results
     masks2, _ = pipe.ground(xyz, rng.rand(300, 3) * 0, ["the red mug"])
     assert masks2.shape == (1, 300)
+
+
+def test_ground_batch_matches_per_scene(rng, pipe):
+    """ground_batch == per-scene ground, with and without a device mesh
+    (scenes shard over the data axis; B=3 pads to the axis size)."""
+    from jax.sharding import Mesh
+
+    clouds = [rng.randn(n, 3).astype(np.float32) * 0.3
+              for n in (200, 150, 260)]
+    rgbs = [rng.rand(len(c), 3) for c in clouds]
+    queries = ["the red mug", "a bowl"]
+
+    ref = [pipe.ground(c, r, queries) for c, r in zip(clouds, rgbs)]
+    for mesh in (None, Mesh(np.array(jax.devices()[:2]), ("data",))):
+        masks, sims = pipe.ground_batch(clouds, rgbs, queries, mesh=mesh)
+        assert len(masks) == 3 and sims.shape[0] == 3
+        for i, (m_ref, s_ref) in enumerate(ref):
+            np.testing.assert_array_equal(masks[i], m_ref)
+            np.testing.assert_allclose(np.asarray(sims[i]), s_ref,
+                                       atol=1e-5)
+
+
+def test_ground_batch_voxel_level(rng, pipe):
+    clouds = [rng.randn(120, 3).astype(np.float32) * 0.3 for _ in range(2)]
+    masks, sims = pipe.ground_batch(clouds, None, ["thing"],
+                                    per_point=False)
+    assert masks.shape == (2, 1, 128) and sims.shape == (2, 1, 128)
