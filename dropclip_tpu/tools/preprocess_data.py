@@ -132,13 +132,19 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
                   eval_scenario: str = "open", sim_kernel: str = "max",
                   use_visibility: bool = False, use_similarity: bool = True,
                   vis_threshold: float = 0.05, staged: Dict = None,
-                  writer=None) -> Dict:
+                  writer=None, sync_timings: bool = False) -> Dict:
     """One scene end-to-end; returns timing/stat dict.
 
     Every device program runs at STATIC shapes — the cloud stays padded to
     ``cloud_capacity`` and objects/queries are padded to ``max_objects``
     (masked via fuse_obj_prior's obj_valid) — so scene 2..N reuse scene 1's
     compilations regardless of point/object counts.
+
+    ``sync_timings`` fetches a scalar at the teacher phase boundary so the
+    returned t_teacher/t_fuse split is a real device-time split instead of
+    dispatch-vs-fetch accounting (the tunneled runtime acks
+    block_until_ready early, so the sync is a host fetch). Costs a little
+    pipeline overlap — bench-only; production ingest leaves it off.
     """
     t0 = time.time()
     n_real = max(int(k) for k in obj_info) + 1  # incl. table id 0
@@ -179,6 +185,8 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
     obj_feats, present = extractor.extract_obj_prior(
         dev_images, dev_segs, obj_ids=np.arange(max_objects),
         present_hint=segs)
+    if sync_timings:  # scalar fetch = the only reliable sync (see doc)
+        np.asarray(obj_feats[0, 0, :1])
     t_clip = time.time() - t0
 
     # 3) text queries + object-level fusion (padded cloud + padded objects)
