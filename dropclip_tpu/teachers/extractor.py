@@ -77,6 +77,27 @@ class ClipExtractor:
         def _encode_text(variables, toks):
             return self.model.apply(variables, toks, method="encode_text")
 
+        @partial(jax.jit, static_argnums=(3,))
+        def _encode_queries(variables, toks, seg_ids, n_segments):
+            """Padded token batch + per-row segment id -> (n_segments, C)
+            L2-normalized per-segment MEAN text embedding (zero rows for
+            empty segments). Folds the reference's per-object mean-pool
+            (reference tools/preprocess_data.py:252-256) into the text
+            tower's jit: one dispatch per scene instead of ~n_objects
+            eager mean/stack/norm ops (each an extra host-link round trip
+            on the tunneled TPU). Pad rows carry seg_id == n_segments and
+            fall off the segment_sum."""
+            embs = self.model.apply(variables, toks, method="encode_text")
+            sums = jax.ops.segment_sum(embs, seg_ids,
+                                       num_segments=n_segments + 1)
+            cnt = jax.ops.segment_sum(jnp.ones((embs.shape[0],), embs.dtype),
+                                      seg_ids, num_segments=n_segments + 1)
+            sums, cnt = sums[:n_segments], cnt[:n_segments]
+            mean = sums / jnp.maximum(cnt, 1.0)[:, None]
+            q = mean / jnp.maximum(
+                jnp.linalg.norm(mean, axis=-1, keepdims=True), 1e-12)
+            return jnp.where((cnt > 0)[:, None], q, 0.0)
+
         @jax.jit
         def _preprocess(images):
             x = resize_image(images.astype(jnp.float32), self.img_resize)
@@ -109,6 +130,7 @@ class ClipExtractor:
 
         self._encode_cls = _encode_cls
         self._encode_text_jit = _encode_text
+        self._encode_queries_jit = _encode_queries
         self._encode_patch = _encode_patch
         self._preprocess = _preprocess
         self._obj_prior_view = _obj_prior_view
@@ -219,3 +241,27 @@ class ClipExtractor:
             toks = np.concatenate([toks, np.tile(toks[-1:], (pad, 1))])
         out = self._encode_text_jit(self.variables, jnp.asarray(toks))
         return out[:n]
+
+    def encode_queries(self, queries, n_segments: int) -> jnp.ndarray:
+        """{segment_id: [texts]} -> (n_segments, C) L2-normalized mean
+        text embedding per segment id; zero rows for absent ids.
+
+        The whole scene's query embedding — text tower + per-object mean
+        pool + normalize + pad-to-max_objects — in ONE jit dispatch
+        (same 32-wide token buckets as encode_text). Ids >= n_segments
+        are rejected (they would silently alias the pad segment)."""
+        from .tokenizer import tokenize
+
+        flat, seg = [], []
+        for k, texts in queries.items():
+            if not 0 <= int(k) < n_segments:
+                raise ValueError(f"query id {k} outside [0, {n_segments})")
+            flat.extend(texts)
+            seg.extend([int(k)] * len(texts))
+        toks = tokenize(flat)
+        pad = (-toks.shape[0]) % 32
+        if pad:
+            toks = np.concatenate([toks, np.tile(toks[-1:], (pad, 1))])
+        seg = np.asarray(seg + [n_segments] * pad, np.int32)
+        return self._encode_queries_jit(self.variables, jnp.asarray(toks),
+                                        jnp.asarray(seg), n_segments)

@@ -148,7 +148,11 @@ class ClipTokenizer:
         text = html.unescape(html.unescape(text))
         return re.sub(r"\s+", " ", text).strip()
 
+    @functools.lru_cache(maxsize=16384)
     def encode(self, text: str) -> List[int]:
+        # cached per text: ingest re-tokenizes the same class-name /
+        # attribute queries every scene, and the regex+BPE pass is
+        # GIL-held host work that serializes multi-device ingest workers
         ids: List[int] = []
         for word in _WORD_RE.findall(self._clean(text).lower()):
             word_bytes = "".join(self.byte_encoder[b]

@@ -43,23 +43,23 @@ _agg_jit = jax.jit(aggregate_views, static_argnames=(
 _fuse_jit = jax.jit(fuse_obj_prior, static_argnames=("cfg",))
 
 
+def _fusion_query_texts(obj_info: Dict, scenario: str) -> Dict:
+    """{0: table, objects...} per-object query texts (reference
+    preprocess_data.py:252-256)."""
+    return {0: ["table"],
+            **prepare_fusion_queries(
+                {k: v for k, v in obj_info.items() if k > 0}, scenario)}
+
+
 def embed_fusion_queries(extractor: ClipExtractor, obj_info: Dict,
                          scenario: str = "open") -> jnp.ndarray:
     """{0: table, objects...} -> (Q, C) normalized mean-pooled embeddings
-    (reference preprocess_data.py:252-265)."""
-    queries = {0: ["table"],
-               **prepare_fusion_queries(
-                   {k: v for k, v in obj_info.items() if k > 0}, scenario)}
-    # one batched text-encoder call for the whole scene (a call per
-    # object costs seconds each through the host link)
-    keys = sorted(queries)
-    flat, spans = [], []
-    for k in keys:
-        spans.append((len(flat), len(queries[k])))
-        flat.extend(queries[k])
-    embs_flat = extractor.encode_text(flat)
-    q = jnp.stack([jnp.mean(embs_flat[s: s + n], axis=0) for s, n in spans])
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    (reference preprocess_data.py:252-265). Compacts to the real object
+    rows; the ingest hot path uses the padded extractor.encode_queries
+    directly (one jit dispatch per scene)."""
+    queries = _fusion_query_texts(obj_info, scenario)
+    n = max(queries) + 1
+    return extractor.encode_queries(queries, n_segments=n)
 
 
 class SceneWriter:
@@ -173,11 +173,8 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
         dev_depths, dev_images, dev_segs, dev_poses, dev_K,
         voxel_size=voxel_size, capacity=cloud_capacity,
         num_labels=num_labels)
-    if int(agg_dropped):
-        print(f"WARNING: {int(agg_dropped)} points truncated during "
-              f"aggregation (cloud_capacity={cloud_capacity} or grid "
-              f"extent too small) -> {out_path}", flush=True)
-    keep = np.asarray(mask) & (np.asarray(labels) != 0)  # drop table+pad
+    if sync_timings:  # scalar fetch = the only reliable sync (see doc)
+        np.asarray(agg_dropped)
     t_agg = time.time() - t0
 
     # 2) per-(view, object) teacher features with visual prompts
@@ -185,26 +182,35 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
     obj_feats, present = extractor.extract_obj_prior(
         dev_images, dev_segs, obj_ids=np.arange(max_objects),
         present_hint=segs)
-    if sync_timings:  # scalar fetch = the only reliable sync (see doc)
+    if sync_timings:
         np.asarray(obj_feats[0, 0, :1])
     t_clip = time.time() - t0
 
-    # 3) text queries + object-level fusion (padded cloud + padded objects)
+    # 3) text queries + object-level fusion (padded cloud + padded objects).
+    # Everything up to the final fetches stays on device with NO host
+    # sync in between: agg -> teacher -> queries -> fuse queue as one
+    # device pipeline (each mid-phase fetch costs a host-link round trip,
+    # and GIL-held eager ops serialize the multi-device ingest workers).
     t0 = time.time()
-    q_real = embed_fusion_queries(extractor, obj_info, eval_scenario)
-    feat_dim = q_real.shape[-1]
-    query_embs = jnp.zeros((max_objects, feat_dim), jnp.float32
-                           ).at[:n_real].set(q_real)
-    obj_valid = jnp.arange(max_objects) < n_real
+    query_embs = extractor.encode_queries(
+        _fusion_query_texts(obj_info, eval_scenario), n_segments=max_objects)
+    obj_valid = np.arange(max_objects) < n_real
     cfg = FusionConfig(image_hw=(h, w), visibility_threshold=vis_threshold,
                        use_visibility=use_visibility,
                        use_similarity=use_similarity, sim_kernel=sim_kernel)
     fused = _fuse_jit(xyz, dev_depths, dev_segs, dev_poses, obj_feats,
                       present, query_embs, dev_K, cfg, obj_valid=obj_valid)
-    obj_out = np.array(fused.obj_features[:n_real])
+
+    # host fetches, all AFTER the last dispatch
+    if int(agg_dropped):
+        print(f"WARNING: {int(agg_dropped)} points truncated during "
+              f"aggregation (cloud_capacity={cloud_capacity} or grid "
+              f"extent too small) -> {out_path}", flush=True)
+    keep = np.asarray(mask) & (np.asarray(labels) != 0)  # drop table+pad
+    obj_out = np.array(np.asarray(fused.obj_features)[:n_real])
     # NaN objects (never fused) -> their text embedding (reference :277-282)
     nan_rows = np.any(np.isnan(obj_out), axis=-1)
-    obj_out[nan_rows] = np.asarray(q_real)[nan_rows]
+    obj_out[nan_rows] = np.asarray(query_embs)[:n_real][nan_rows]
 
     # final host-side compaction: padded/table rows out, plus points
     # invisible in every view (reference fuse_obj_prior :278-283)
@@ -327,9 +333,19 @@ def _run_multidevice(extractor: ClipExtractor, load_one, sids,
     sids = list(sids)
 
     def worker(wi: int) -> None:
-        with SceneWriter() as writer:
-            for sid in sids[wi::nd]:
-                loaded = load_one(sid, device=devices[wi])
+        my = sids[wi::nd]
+        # per-worker single-slot prefetch: scene i+1's decode + H2D
+        # staging overlaps scene i's device compute (the sequential path
+        # has the same structure; without it each worker's host load
+        # serializes with its own device work AND, via the GIL, with
+        # every other worker's host load)
+        with SceneWriter() as writer, ThreadPoolExecutor(1) as loader:
+            fut = (loader.submit(load_one, my[0], devices[wi])
+                   if my else None)
+            for j, _ in enumerate(my):
+                loaded = fut.result()
+                fut = (loader.submit(load_one, my[j + 1], devices[wi])
+                       if j + 1 < len(my) else None)
                 if loaded is None:
                     continue
                 scene_id, kw = loaded
