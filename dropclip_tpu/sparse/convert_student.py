@@ -137,3 +137,79 @@ def from_minkowski_state_dict(sd: Mapping[str, Any],
     if "cls_head.kernel" in sd:
         params["cls_head"] = _conv(sd, "cls_head", 1, offset_order)
     return params, stats
+
+
+def _inv_conv(w, ksize: int, offset_order: str) -> np.ndarray:
+    """Inverse of _conv: our (K^3, Cin, Cout) kernel -> ME row layout."""
+    w = np.asarray(w, np.float32)
+    if ksize == 1:
+        return w[0]  # ME stores 1x1 as (Cin, Cout)
+    p = _perm(ksize, offset_order)
+    inv = np.empty_like(p)
+    inv[p] = np.arange(len(p))
+    return w[inv]
+
+
+def to_minkowski_state_dict(params: Mapping, stats: Mapping,
+                            arch: str = "MinkUNet14D",
+                            offset_order: str = "x_fastest",
+                            wrap: bool = True) -> Dict[str, Any]:
+    """Inverse of from_minkowski_state_dict: our (params, batch_stats)
+    pytrees -> a reference-layout torch-style state dict (numpy values).
+
+    The migration path OUT of this framework (and the fixture generator
+    for offset-order detection tests): round-trips bit-exactly through
+    from_minkowski_state_dict for every arch/order
+    (tests/test_convert_student.py). ``wrap`` adds the DDP + DisNet
+    ``module.net3d.`` prefix real reference checkpoints carry
+    (reference disnet.py:24-39, train_distil.py:255-271)."""
+    block, layers, _ = UNET_ARCHS[arch]
+    sd: Dict[str, Any] = {}
+
+    def put_bn(ref: str, p: Mapping, s: Mapping) -> None:
+        sd[f"{ref}.bn.weight"] = np.asarray(p["scale"], np.float32)
+        sd[f"{ref}.bn.bias"] = np.asarray(p["bias"], np.float32)
+        sd[f"{ref}.bn.running_mean"] = np.asarray(s["mean"], np.float32)
+        sd[f"{ref}.bn.running_var"] = np.asarray(s["var"], np.float32)
+
+    sd["conv0p1s1.kernel"] = _inv_conv(params["conv0p1s1"]["kernel"], 5,
+                                       offset_order)
+    put_bn("bn0", params["bn0"], stats["bn0"])
+    for s_i in range(1, 5):
+        stride = [1, 2, 4, 8][s_i - 1]
+        sd[f"conv{s_i}p{stride}s2.kernel"] = _inv_conv(
+            params[f"conv{s_i}"]["kernel"], 2, offset_order)
+        put_bn(f"bn{s_i}", params[f"bn{s_i}"], stats[f"bn{s_i}"])
+    for d in range(4):
+        stride = 16 >> d
+        sd[f"convtr{4 + d}p{stride}s2.kernel"] = _inv_conv(
+            params[f"convtr{4 + d}"]["kernel"], 2, offset_order)
+        put_bn(f"bntr{4 + d}", params[f"bntr{4 + d}"],
+               stats[f"bntr{4 + d}"])
+
+    convs_per_block = {"basic": ("conv1", "conv2"),
+                       "bottleneck": ("conv1", "conv2", "conv3")}[block]
+    for b in range(1, 9):
+        for i in range(layers[b - 1]):
+            ref = f"block{b}.{i}"
+            our_p, our_s = params[f"block{b}_{i}"], stats[f"block{b}_{i}"]
+            for ci, cname in enumerate(convs_per_block, start=1):
+                k = 3 if cname == "conv2" or block == "basic" else 1
+                sd[f"{ref}.{cname}.kernel"] = _inv_conv(
+                    our_p[cname]["kernel"], k, offset_order)
+                put_bn(f"{ref}.norm{ci}", our_p[f"norm{ci}"],
+                       our_s[f"norm{ci}"])
+            if "downsample_conv" in our_p:
+                sd[f"{ref}.downsample.0.kernel"] = _inv_conv(
+                    our_p["downsample_conv"]["kernel"], 1, offset_order)
+                put_bn(f"{ref}.downsample.1", our_p["downsample_norm"],
+                       our_s["downsample_norm"])
+
+    sd["final.kernel"] = _inv_conv(params["final"]["kernel"], 1,
+                                   offset_order)
+    if "cls_head" in params:
+        sd["cls_head.kernel"] = _inv_conv(params["cls_head"]["kernel"], 1,
+                                          offset_order)
+    if wrap:
+        sd = {f"module.net3d.{k}": v for k, v in sd.items()}
+    return sd

@@ -10,13 +10,77 @@ Usage:
   python -m dropclip_tpu.tools.convert_checkpoint \
       --torch-ckpt best_val_miou_model_fine_tune.pth \
       --out exp/converted --config configs/DistilBlender.yaml \
-      [--opts feat_dim 768 ...] [--offset-order x_fastest]
+      [--opts feat_dim 768 ...] \
+      [--offset-order auto --probe-data /path/to/processed]
+
+``--offset-order auto`` converts under BOTH plausible MinkowskiEngine
+kernel-offset enumerations and keeps the one with the lower cosine
+distillation loss on a handful of processed probe scenes — a wrong
+ordering loads cleanly and only shows up as scrambled predictions
+(reference models/distil/resnet_base.py:76 / ME's kernel-region
+iteration), so the choice is scored, not assumed. Both scores land in
+``convert_meta.json``; a small gap between them means the probe scenes
+could not discriminate and the decision should be re-checked on more
+data.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+
+
+def _probe_order_scores(cfg, sd, orders, probe_root: str, split: str,
+                        n_scenes: int):
+    """Mean cosine distillation loss per offset order on probe scenes.
+
+    The probe is the ACTUAL deployment question: which kernel permutation
+    makes the converted student reproduce the fused teacher features it
+    was distilled against (the h5 ``targets``). The correct order scores
+    strictly lower for any genuinely trained checkpoint; random weights
+    score ~1.0 under both and cannot be auto-detected."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.dataset_blender import MVTODDataset
+    from ..distill.engine import (DistilBatch, build_student_for,
+                                  build_topology, make_eval_step)
+    from ..distill.train_state import create_train_state, make_optimizer
+    from ..sparse.convert_student import from_minkowski_state_dict
+
+    probe_cfg = cfg.clone()
+    probe_cfg.root_dir = probe_root
+    probe_cfg.use_augmentation = False
+    ds = MVTODDataset(probe_cfg, split=split)
+    idx = list(range(min(n_scenes, len(ds))))
+    if not idx:
+        raise SystemExit(f"--probe-data {probe_root}/{split} has no scenes")
+    b = MVTODDataset.collate([ds[i] for i in idx])
+    batch = DistilBatch(
+        coords=jnp.asarray(b["coords"]), mask=jnp.asarray(b["mask"]),
+        in_feats=jnp.asarray(b["in_feats"]),
+        targets=jnp.asarray(b["targets"]),
+        labels=jnp.asarray(np.asarray(b["labels"], np.int32)),
+        labels_cls=jnp.asarray(np.asarray(
+            b.get("labels_cls", np.zeros_like(b["labels"])), np.int32)))
+
+    model = build_student_for(cfg)
+    topo = build_topology(cfg, batch.coords, batch.mask)
+    tx = make_optimizer(cfg, 1)
+    eval_step = make_eval_step(cfg)
+    scores = {}
+    for order in orders:
+        params, stats = from_minkowski_state_dict(
+            sd, arch=cfg.arch_3d or "MinkUNet14D", offset_order=order)
+        state = create_train_state(model, topo, batch.in_feats, tx)
+        state = state.replace(params=jax.tree.map(jnp.asarray, params),
+                              batch_stats=jax.tree.map(jnp.asarray, stats))
+        _, metrics = eval_step(state, batch)
+        scores[order] = float(metrics["distil_loss"])
+        print(f"probe[{order}]: distil_loss = {scores[order]:.6f} "
+              f"({len(idx)} scenes)")
+    return scores
 
 
 def main() -> None:
@@ -29,11 +93,19 @@ def main() -> None:
     p.add_argument("--config", default="configs/DistilBlender.yaml")
     p.add_argument("--name", default="best_sim_loss_model")
     p.add_argument("--offset-order", default="x_fastest",
-                   choices=["x_fastest", "z_fastest"],
-                   help="assumed ME kernel-offset ordering; flip if "
-                        "converted predictions look scrambled")
+                   choices=["x_fastest", "z_fastest", "auto"],
+                   help="assumed ME kernel-offset ordering; 'auto' scores "
+                        "both on --probe-data and keeps the lower "
+                        "distillation loss")
+    p.add_argument("--probe-data", default=None,
+                   help="processed dataset root for --offset-order auto")
+    p.add_argument("--probe-split", default="test")
+    p.add_argument("--probe-scenes", type=int, default=4)
     p.add_argument("--opts", nargs=argparse.REMAINDER, default=None)
     a = p.parse_args()
+    if a.offset_order == "auto" and not a.probe_data:
+        p.error("--offset-order auto needs --probe-data (a few processed "
+                "scenes to score the two candidate orderings against)")
 
     import jax
     import jax.numpy as jnp
@@ -52,8 +124,20 @@ def main() -> None:
     obj = torch.load(a.torch_ckpt, map_location="cpu", weights_only=False)
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else \
         obj.state_dict()
+    offset_order, auto_scores = a.offset_order, None
+    if offset_order == "auto":
+        auto_scores = _probe_order_scores(
+            cfg, sd, ("x_fastest", "z_fastest"), a.probe_data,
+            a.probe_split, a.probe_scenes)
+        offset_order = min(auto_scores, key=auto_scores.get)
+        lo, hi = sorted(auto_scores.values())
+        print(f"auto offset order: {offset_order} "
+              f"(loss {lo:.6f} vs {hi:.6f})")
+        if hi - lo < 1e-3:
+            print("WARNING: the probe scenes barely discriminate the two "
+                  "orderings (gap < 1e-3) — re-check with more scenes")
     params, stats = from_minkowski_state_dict(
-        sd, arch=cfg.arch_3d or "MinkUNet14D", offset_order=a.offset_order)
+        sd, arch=cfg.arch_3d or "MinkUNet14D", offset_order=offset_order)
 
     # skeleton state for the optimizer pytree, then graft the weights in
     model = build_student_for(cfg)
@@ -76,13 +160,15 @@ def main() -> None:
     # checkpoint so downstream consumers can check/flip it
     import json
 
+    meta = {"source": a.torch_ckpt, "arch": cfg.arch_3d or "MinkUNet14D",
+            "offset_order": offset_order}
+    if auto_scores is not None:
+        meta["auto_scores"] = auto_scores  # the decision's evidence
     with open(os.path.join(a.out, "convert_meta.json"), "w") as f:
-        json.dump({"source": a.torch_ckpt, "arch": cfg.arch_3d or
-                   "MinkUNet14D", "offset_order": a.offset_order}, f,
-                  indent=2)
+        json.dump(meta, f, indent=2)
     n = len(jax.tree.leaves(state.params))
     print(f"converted {a.torch_ckpt} -> {a.out}/{a.name} "
-          f"({n} param tensors, offset order {a.offset_order})")
+          f"({n} param tensors, offset order {offset_order})")
 
 
 if __name__ == "__main__":

@@ -11,63 +11,11 @@ import jax
 import jax.numpy as jnp
 
 from dropclip_tpu.sparse.convert_student import (_perm,
-                                                 from_minkowski_state_dict)
+                                                 from_minkowski_state_dict,
+                                                 to_minkowski_state_dict)
 from dropclip_tpu.sparse.unet import UNET_ARCHS, MinkUNet
 
 ARCH = "tiny"
-
-
-def _inv_conv(w: np.ndarray, ksize: int, order: str) -> np.ndarray:
-    w = np.asarray(w)
-    if ksize == 1:
-        return w[0]  # ME stores 1x1 as (Cin, Cout)
-    p = _perm(ksize, order)
-    inv = np.empty_like(p)
-    inv[p] = np.arange(len(p))
-    return w[inv]
-
-
-def _to_me(params, stats, order):
-    """Inverse of from_minkowski_state_dict for the tiny/basic arch."""
-    sd = {}
-
-    def put_bn(ref, p, s):
-        sd[f"{ref}.bn.weight"] = p["scale"]
-        sd[f"{ref}.bn.bias"] = p["bias"]
-        sd[f"{ref}.bn.running_mean"] = s["mean"]
-        sd[f"{ref}.bn.running_var"] = s["var"]
-
-    sd["conv0p1s1.kernel"] = _inv_conv(params["conv0p1s1"]["kernel"], 5,
-                                       order)
-    put_bn("bn0", params["bn0"], stats["bn0"])
-    for i in range(1, 5):
-        stride = [1, 2, 4, 8][i - 1]
-        sd[f"conv{i}p{stride}s2.kernel"] = _inv_conv(
-            params[f"conv{i}"]["kernel"], 2, order)
-        put_bn(f"bn{i}", params[f"bn{i}"], stats[f"bn{i}"])
-    for d in range(4):
-        stride = 16 >> d
-        sd[f"convtr{4+d}p{stride}s2.kernel"] = _inv_conv(
-            params[f"convtr{4+d}"]["kernel"], 2, order)
-        put_bn(f"bntr{4+d}", params[f"bntr{4+d}"], stats[f"bntr{4+d}"])
-    for b in range(1, 9):
-        our = params[f"block{b}_0"]
-        ssub = stats[f"block{b}_0"]
-        ref = f"block{b}.0"
-        sd[f"{ref}.conv1.kernel"] = _inv_conv(our["conv1"]["kernel"], 3,
-                                              order)
-        sd[f"{ref}.conv2.kernel"] = _inv_conv(our["conv2"]["kernel"], 3,
-                                              order)
-        put_bn(f"{ref}.norm1", our["norm1"], ssub["norm1"])
-        put_bn(f"{ref}.norm2", our["norm2"], ssub["norm2"])
-        if "downsample_conv" in our:
-            sd[f"{ref}.downsample.0.kernel"] = _inv_conv(
-                our["downsample_conv"]["kernel"], 1, order)
-            put_bn(f"{ref}.downsample.1", our["downsample_norm"],
-                   ssub["downsample_norm"])
-    sd["final.kernel"] = _inv_conv(params["final"]["kernel"], 1, order)
-    # DDP + DisNet wrapping, as real checkpoints have
-    return {f"module.net3d.{k}": v for k, v in sd.items()}
 
 
 @pytest.mark.parametrize("order", ["x_fastest", "z_fastest"])
@@ -90,7 +38,8 @@ def test_roundtrip(rng, order):
     # make batch stats non-trivial
     stats = jax.tree.map(lambda x: x + 0.25, stats)
 
-    sd = _to_me(params, stats, order)
+    sd = to_minkowski_state_dict(params, stats, arch=ARCH,
+                                 offset_order=order)
     got_p, got_s = from_minkowski_state_dict(sd, arch=ARCH,
                                              offset_order=order)
     flat_a = dict(jax.tree_util.tree_flatten_with_path(params)[0])
