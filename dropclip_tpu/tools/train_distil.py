@@ -97,6 +97,57 @@ def make_clip_sim(cfg):
                           threshold=float(cfg.sim_norm_thresh or 0.7))
 
 
+def dump_visualization(val_ds, collate, eval_forward, epoch: int,
+                       save_dir: str, cfg, local_bs: int) -> str:
+    """Training-time visualization dump (reference engine/distil.py
+    :551-648, triggered by args.visualize at tools/train_distil.py:248):
+    one random val scene per eval epoch goes to
+    ``<save_dir>/vis/epoch-{E}/rank-{R}/`` as
+
+    - ``outputs.h5`` — raw_pc / raw_rgb / outputs / targets datasets
+      (the reference writes these into a file it names outputs.pcd,
+      :586-591; same payload, honest extension here), and
+    - ``outputs.pcd`` — the 4-panel side-by-side cloud: rgb | label
+      colors | PCA(targets) | PCA(outputs), x-offset per panel
+      (:597-604).
+    """
+    import h5py
+
+    from ..viz import apply_pca, label_colors, save_pcd
+
+    rng = np.random.default_rng(int(cfg.manual_seed or 42) + epoch)
+    idx = int(rng.integers(len(val_ds)))
+    b = collate([val_ds[idx]] * local_bs)  # loader batch shape: no recompile
+    out, _ = eval_forward(b)
+    mask = np.asarray(b["mask"])[0].astype(bool)
+    feats = np.asarray(b["in_feats"])[0][mask]
+    xyz = feats[:, :3]
+    rgb = (np.clip(feats[:, 3:6], 0, 1) if feats.shape[1] >= 6
+           else np.full_like(xyz, 0.5))
+    targets = np.asarray(b["targets"])[0][mask]
+    labels = np.asarray(b["labels"])[0][mask].astype(int)
+    preds = np.asarray(out)[0][mask]
+
+    tgt_dir = os.path.join(save_dir, "vis", f"epoch-{epoch}",
+                           f"rank-{jax.process_index()}")
+    os.makedirs(tgt_dir, exist_ok=True)
+    with h5py.File(os.path.join(tgt_dir, "outputs.h5"), "w") as h:
+        h.create_dataset("raw_pc", data=xyz.astype(np.float32))
+        h.create_dataset("raw_rgb", data=rgb.astype(np.float32))
+        h.create_dataset("outputs", data=preds.astype(np.float32))
+        h.create_dataset("targets", data=targets.astype(np.float32))
+    # panel offset scales with the scene (the reference's fixed 0.5
+    # assumes tabletop extents)
+    off = float(np.ptp(xyz[:, 0])) * 1.1 + 1e-3
+    panels = [rgb, label_colors(labels), apply_pca(targets),
+              apply_pca(preds)]
+    pts = np.concatenate([xyz + np.array([off * i, 0.0, 0.0])
+                          for i in range(len(panels))])
+    save_pcd(os.path.join(tgt_dir, "outputs.pcd"), pts,
+             np.concatenate(panels))
+    return tgt_dir
+
+
 def main() -> None:
     from ..core.platform import honor_jax_platforms_env
 
@@ -356,6 +407,11 @@ def main() -> None:
                         all_reduce_mean_host([val_loss]))[0])
                 logger.info("Eval: Epoch=[%d/%s] DistilLoss=%.4f", epoch,
                             cfg.epochs, val_loss)
+            if cfg.visualize:
+                vdir = dump_visualization(
+                    val_ds, collate, eval_forward, epoch, save_dir, cfg,
+                    local_bs=max(int(cfg.batch_size_val or 8) // nproc, 1))
+                logger.info("visualization -> %s", vdir)
 
         if epoch % int(cfg.save_freq or 1) == 0:
             # val_loss is globally reduced above, so is_best is identical

@@ -55,10 +55,30 @@ TRAIN:
   eval_freq: 1
   print_freq: 1
   manual_seed: 42
+  visualize: True
 """)
 
     monkeypatch.setattr(sys, "argv", ["train_distil", "--config", cfg_path])
     train_distil.main()
+
+    # visualize: True dumps the reference's per-eval-epoch artifacts
+    # (engine/distil.py:551-648): outputs.h5 + the 4-panel outputs.pcd
+    vis_h5 = glob.glob(os.path.join(save_root, "**", "vis", "epoch-*",
+                                    "rank-0", "outputs.h5"), recursive=True)
+    vis_pcd = glob.glob(os.path.join(save_root, "**", "vis", "epoch-*",
+                                     "rank-0", "outputs.pcd"), recursive=True)
+    assert vis_h5 and vis_pcd, f"no visualization dumps under {save_root}"
+    import h5py
+
+    with h5py.File(vis_h5[0]) as h:
+        n = h["raw_pc"].shape[0]
+        assert h["outputs"].shape == (n, 16)
+        assert h["targets"].shape == (n, 16)
+        assert h["raw_rgb"].shape == (n, 3)
+    from dropclip_tpu.viz import load_pcd
+
+    pts, cols = load_pcd(vis_pcd[0])
+    assert len(pts) == 4 * n and cols is not None
 
     lasts = glob.glob(os.path.join(save_root, "**", "last_model"),
                       recursive=True)
