@@ -120,9 +120,11 @@ def enable_compile_cache(path: str = None) -> None:
 
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(p))
-        # cache everything that takes meaningful time; tiny programs are
-        # cheaper to recompile than to hash+serialize
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache everything that takes meaningful time; truly tiny
+        # programs are cheaper to recompile than to hash+serialize (the
+        # test suite's wall clock is a long tail of ~0.5 s compiles, so
+        # the bar sits below them)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without the knobs: cache is an optimization only

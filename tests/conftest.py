@@ -17,6 +17,17 @@ import jax  # noqa: E402
 # the config knob wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Opt-in persistent compile cache for local iteration: the fast gate is
+# compile-bound (~2/3 of its wall clock is XLA:CPU compiles), so
+# DROPCLIP_COMPILE_CACHE=<dir> makes warm re-runs much faster. Off by
+# default: reloaded XLA:CPU AOT code warns about target-feature mismatch
+# (possible SIGILL) — fine for a dev loop, not for correctness artifacts.
+if os.environ.get("DROPCLIP_COMPILE_CACHE", "").strip().lower() not in (
+        "", "0", "false", "no", "off"):
+    from dropclip_tpu.core.platform import enable_compile_cache
+
+    enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

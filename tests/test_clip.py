@@ -316,6 +316,8 @@ def test_rn_full_model_converter_parity():
     np.testing.assert_allclose(np.asarray(got_li), want_li, atol=2e-3)
 
 
+@pytest.mark.slow  # opt-in DROPCLIP_FUSED_ADD_LN path (default OFF,
+# measured slower on hardware) — parity guarded in the slow suite
 def test_text_tower_fused_stream_parity(monkeypatch):
     # the fused residual stream must reproduce the plain causal block
     # loop exactly (jnp fallback on CPU)

@@ -3,6 +3,7 @@ dispatch contract."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dropclip_tpu.ops.layernorm import layer_norm, supports
 
@@ -81,6 +82,8 @@ def test_fused_add_ln_parity_interpret(rng):
                                rtol=0.02, atol=0.02)
 
 
+@pytest.mark.slow  # opt-in DROPCLIP_FUSED_ADD_LN path (default OFF,
+# measured slower on hardware) — parity guarded in the slow suite
 def test_fused_stream_model_parity(rng, monkeypatch):
     # DROPCLIP_FUSED_ADD_LN on (jnp fallback on CPU) must reproduce the
     # plain block loop exactly — the fused stream is a restructuring, not

@@ -31,8 +31,15 @@ def batch():
 def test_forward_shapes_and_masking(batch):
     topo, feats, mask = batch
     model = tiny_model()
-    variables = model.init(jax.random.PRNGKey(0), topo, feats, train=False)
-    out = model.apply(variables, topo, feats, train=False)
+    # jit init AND apply, with topo passed as an ARGUMENT (closed-over
+    # arrays become XLA constants and blow up compile time): the eager
+    # gather-UNet dispatches thousands of ops per pass, ~30 s on this
+    # 1-core box; compiled it's a few seconds
+    def init_and_forward(t, f):
+        v = model.init(jax.random.PRNGKey(0), t, f, train=False)
+        return model.apply(v, t, f, train=False)
+
+    out = jax.jit(init_and_forward)(topo, feats)  # ONE compile, not two
     assert out.shape == (2, 128, 16)
     # padded rows must be exactly zero
     pad = np.asarray(out)[~np.asarray(mask)]
