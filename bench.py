@@ -183,7 +183,12 @@ def main_fusion():
     n_views = 4 if smoke else 73
     n_objects = 3 if smoke else 10
     hw = (48, 64) if smoke else (480, 640)
-    n_scenes = 2 if smoke else 4
+    # scene 0: compile warmup. scene 1: sync_timings phase capture (the
+    # per-round phase audit). scenes 2..: production async-tail pipeline
+    # (fetch+compaction+write overlap the next scene's compute) — the
+    # THROUGHPUT scenes.
+    n_scenes = 3 if smoke else 6
+    n_phase = 2
 
     args = CfgNode(dict(
         clip_model="tiny-test" if smoke else "ViT-L/14@336px",
@@ -218,38 +223,42 @@ def main_fusion():
     times = []
     phases = {"stage": [], "agg": [], "teacher": [], "fuse": []}
     for i, s in enumerate(scenes):
+        sync = i < n_phase  # phase-audit scenes; the rest run the
+        # production async-tail pipeline and set the throughput number
         t0 = time.perf_counter()
         if i + 1 < len(scenes):
             n = scenes[i + 1]
             staged.append(stage_scene(n["images"], n["depths"], n["segs"],
                                       n["poses"], n["K"]))
-        phases["stage"].append(time.perf_counter() - t0)
+        t_stage = time.perf_counter() - t0
         stats = process_scene(
             images=s["images"], depths=s["depths"], segs=s["segs"],
             poses=s["poses"], K=s["K"], obj_info=s["objects_info"],
             extractor=extractor, out_path=f"/tmp/bench_fusion/{i:04d}.h5py",
             voxel_size=0.01 if smoke else 0.005,
             cloud_capacity=4096 if smoke else 131072, staged=staged[i],
-            writer=writer, sync_timings=True)
-        phases["agg"].append(stats["t_aggregate"])
-        phases["teacher"].append(stats["t_teacher"])
-        phases["fuse"].append(stats["t_fuse"])
-        times.append(time.perf_counter() - t0)
+            writer=writer, sync_timings=sync)
+        if sync and i > 0:  # scene 0 is compile warmup
+            phases["stage"].append(t_stage)
+            phases["agg"].append(stats["t_aggregate"])
+            phases["teacher"].append(stats["t_teacher"])
+            phases["fuse"].append(stats["t_fuse"])
+        if not sync:
+            times.append(time.perf_counter() - t0)
     t0 = time.perf_counter()
     writer.close()
     drain = time.perf_counter() - t0
-    # steady-state rate over the post-compile scenes INCLUDING the final
-    # write drain — the sustainable pipeline rate, not submit-cost-only
-    steady = times[1:] if len(times) > 1 else times
-    scenes_per_sec = len(steady) / (float(np.sum(steady)) + drain)
-    # per-phase means over the steady scenes (VERDICT r2 #2c: the envelope
-    # claim must be auditable per round). "other" = per-scene residue not
-    # in any measured phase (dispatch gaps, writer joins, host link
-    # contention) — the number item 2b asks this bench to account for.
-    ph = {k: float(np.mean(v[1:] if len(v) > 1 else v))
-          for k, v in phases.items()}
-    drain_amort = drain / max(len(steady), 1)
-    per_scene = float(np.mean(steady)) + drain_amort
+    # steady-state rate over the ASYNC scenes INCLUDING the final
+    # write/fetch drain — the sustainable pipeline rate
+    scenes_per_sec = len(times) / (float(np.sum(times)) + drain)
+    # per-phase means over the SYNCED scenes (VERDICT r2 #2c: the
+    # envelope claim must be auditable per round). "other" = per-scene
+    # residue of the ASYNC pipeline not in any synced phase (dispatch
+    # gaps, writer joins, host link contention) — item 2b's number; it
+    # can be negative when the async tail hides synced-phase time.
+    ph = {k: float(np.mean(v)) for k, v in phases.items()}
+    drain_amort = drain / max(len(times), 1)
+    per_scene = float(np.mean(times)) + drain_amort
     other = per_scene - sum(ph.values()) - drain_amort
     return {
         "metric": "fused_scenes_per_sec",
@@ -260,7 +269,7 @@ def main_fusion():
         "teacher_ms": round(1e3 * ph["teacher"], 1),
         "fuse_ms": round(1e3 * ph["fuse"], 1),
         "stage_ms": round(1e3 * ph["stage"], 1),
-        "write_drain_ms": round(1e3 * drain / max(len(steady), 1), 1),
+        "write_drain_ms": round(1e3 * drain / max(len(times), 1), 1),
         "other_ms": round(1e3 * other, 1),
     }
 

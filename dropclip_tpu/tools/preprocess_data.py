@@ -201,36 +201,43 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
     fused = _fuse_jit(xyz, dev_depths, dev_segs, dev_poses, obj_feats,
                       present, query_embs, dev_K, cfg, obj_valid=obj_valid)
 
-    # host fetches, all AFTER the last dispatch
-    if int(agg_dropped):
-        print(f"WARNING: {int(agg_dropped)} points truncated during "
-              f"aggregation (cloud_capacity={cloud_capacity} or grid "
-              f"extent too small) -> {out_path}", flush=True)
-    keep = np.asarray(mask) & (np.asarray(labels) != 0)  # drop table+pad
-    obj_out = np.array(np.asarray(fused.obj_features)[:n_real])
-    # NaN objects (never fused) -> their text embedding (reference :277-282)
-    nan_rows = np.any(np.isnan(obj_out), axis=-1)
-    obj_out[nan_rows] = np.asarray(query_embs)[:n_real][nan_rows]
+    def _finalize() -> Dict:
+        # device->host fetches (~15 MB over the host link) + compaction +
+        # h5 write — the whole post-dispatch tail
+        if int(agg_dropped):
+            print(f"WARNING: {int(agg_dropped)} points truncated during "
+                  f"aggregation (cloud_capacity={cloud_capacity} or grid "
+                  f"extent too small) -> {out_path}", flush=True)
+        keep = np.asarray(mask) & (np.asarray(labels) != 0)  # table+pad out
+        obj_out = np.array(np.asarray(fused.obj_features)[:n_real])
+        # NaN objects (never fused) -> their text embedding (ref :277-282)
+        nan_rows = np.any(np.isnan(obj_out), axis=-1)
+        obj_out[nan_rows] = np.asarray(query_embs)[:n_real][nan_rows]
+        # final host-side compaction: padded/table rows out, plus points
+        # invisible in every view (reference fuse_obj_prior :278-283)
+        sel = keep & np.asarray(fused.visible)
+        vis_mask = np.asarray(fused.visibility)[:, sel]
+        write_scene(out_path, xyz=np.asarray(xyz)[sel],
+                    rgb=np.asarray(rgb)[sel], label=np.asarray(labels)[sel],
+                    vis_mask=vis_mask, obj_feats=obj_out,
+                    objects_info=obj_info)
+        return {"points": int(sel.sum()), "objects": n_real,
+                "nan_objects": int(nan_rows.sum())}
 
-    # final host-side compaction: padded/table rows out, plus points
-    # invisible in every view (reference fuse_obj_prior :278-283)
-    sel = keep & np.asarray(fused.visible)
-    vis_mask = np.asarray(fused.visibility)[:, sel]
-    t_fuse = time.time() - t0
-
-    # arrays are host numpy by here; with a ``writer`` executor the h5
-    # write (tens of MB of fp32 features) overlaps the NEXT scene's
-    # device compute instead of serializing with it
-    wargs = dict(xyz=np.asarray(xyz)[sel], rgb=np.asarray(rgb)[sel],
-                 label=np.asarray(labels)[sel], vis_mask=vis_mask,
-                 obj_feats=obj_out, objects_info=obj_info)
-    if writer is None:
-        write_scene(out_path, **wargs)
-    else:
-        writer.submit(write_scene, out_path, **wargs)
-    return {"points": int(sel.sum()), "objects": n_real,
-            "nan_objects": int(nan_rows.sum()), "t_aggregate": t_agg,
-            "t_teacher": t_clip, "t_fuse": t_fuse}
+    timings = {"t_aggregate": t_agg, "t_teacher": t_clip}
+    if writer is not None and not sync_timings:
+        # async tail: the writer thread pulls THIS scene's outputs over
+        # the host link and writes the h5 while the main thread dispatches
+        # the NEXT scene — the fetch (~0.5 s of ~30 MB/s tunnel link) and
+        # write leave the critical path entirely. One-slot SceneWriter
+        # semantics keep the backpressure: a slow disk/link stalls the
+        # NEXT submit, never accumulates unbounded scene payloads.
+        writer.submit(_finalize)
+        timings["t_fuse"] = time.time() - t0  # dispatch cost only
+        return timings
+    stats = _finalize()
+    timings["t_fuse"] = time.time() - t0
+    return {**stats, **timings}
 
 
 def build_extractor(args) -> ClipExtractor:
