@@ -152,3 +152,20 @@ def test_rn_tower_extractor_smoke(rng):
     feats, present = ex_cls.extract_obj_prior(imgs, segs, [1, 2])
     assert np.asarray(feats).shape == (2, 2, 16)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_obj_prior_packed_matches_viewchunk(rng, tiny, monkeypatch):
+    """The packed present-pair path (default) must reproduce the padded
+    view-chunk path exactly: same prompt pipeline per (view, object),
+    per-row towers, only absent pairs skipped instead of masked."""
+    model, variables = tiny
+    ex = ClipExtractor(model, variables, mode="cls", img_resize=(32, 32),
+                       visual_prompt=("crop-mask",), crop_num_levels=1)
+    imgs, segs = scene(rng)
+    monkeypatch.setenv("DROPCLIP_PACKED_PROMPTS", "0")
+    f_ref, p_ref = ex.extract_obj_prior(imgs, segs, obj_ids=[1, 2, 3])
+    monkeypatch.setenv("DROPCLIP_PACKED_PROMPTS", "1")
+    f_new, p_new = ex.extract_obj_prior(imgs, segs, obj_ids=[1, 2, 3])
+    assert np.array_equal(np.asarray(p_ref), np.asarray(p_new))
+    np.testing.assert_allclose(np.asarray(f_new), np.asarray(f_ref),
+                               atol=1e-6)
