@@ -54,6 +54,16 @@ batch = DistilBatch(
     labels=jnp.asarray(rng.randint(0, 12, size=(b, m)).astype(np.int32)),
     labels_cls=jnp.asarray(rng.randint(0, 44, size=(b, m)).astype(np.int32)))
 
+# the trainer's one-time capacity autotune (without it the heuristic
+# over-allocates, XLA rematerializes under HBM pressure, and the profile
+# measures the remat tax instead of the production step — bench.py
+# main_train applies the same)
+from dropclip_tpu.sparse.bricks import autotune_brick_capacities
+
+cfg.brick_capacities = list(autotune_brick_capacities(
+    np.asarray(coords), np.asarray(mask), slack=1.5,
+    brick_shape=tuple(cfg.brick_shape or (4, 4, 2))))
+
 model = build_student_for(cfg)
 topo = build_topology(cfg, batch.coords, batch.mask)
 tx = make_optimizer(cfg, 100)
@@ -62,12 +72,12 @@ step = jax.jit(make_train_step(cfg))
 key = jax.random.PRNGKey(0)
 
 state, metrics = step(state, batch, key)
-print("warm loss:", float(metrics["loss"]), flush=True)
+print("warm loss:", float(metrics["total_loss"]), flush=True)
 t0 = time.perf_counter()
 REPS = 5
 for _ in range(REPS):
     state, metrics = step(state, batch, key)
-    _ = float(metrics["loss"])
+    _ = float(metrics["total_loss"])
 dt = (time.perf_counter() - t0) / REPS
 print(f"train step: {dt*1e3:.1f} ms/batch-of-8 = {8/dt:.1f} scenes/sec",
       flush=True)
@@ -76,7 +86,7 @@ logdir = "/tmp/prof_train2"
 os.system(f"rm -rf {logdir}")
 with jax.profiler.trace(logdir):
     state, metrics = step(state, batch, key)
-    _ = float(metrics["loss"])
+    _ = float(metrics["total_loss"])
 
 from dropclip_tpu.core.xplane import print_profile
 
