@@ -154,6 +154,42 @@ def test_rn_tower_extractor_smoke(rng):
     assert np.isfinite(np.asarray(feats)).all()
 
 
+def test_obj_prior_packed_multichunk(rng, tiny, monkeypatch):
+    """>96 present pairs must span multiple fixed-size chunks and still
+    scatter back to the right (view, object) slots — compare against the
+    padded path at 13 views x 8 objects = 104 pairs."""
+    model, variables = tiny
+    ex = ClipExtractor(model, variables, mode="cls", img_resize=(32, 32),
+                       visual_prompt=("crop-mask",), crop_num_levels=1)
+    v, k = 13, 8
+    imgs = (rng.rand(v, H, W, 3) * 255).astype(np.uint8)
+    segs = np.zeros((v, H, W), np.int32)
+    for o in range(1, k + 1):  # all 8 objects present in every view
+        segs[:, 5 * o - 4: 5 * o, 8: 56] = o
+    obj_ids = list(range(1, k + 1))
+    monkeypatch.setenv("DROPCLIP_PACKED_PROMPTS", "0")
+    f_ref, p_ref = ex.extract_obj_prior(imgs, segs, obj_ids=obj_ids)
+    monkeypatch.setenv("DROPCLIP_PACKED_PROMPTS", "1")
+    f_new, p_new = ex.extract_obj_prior(imgs, segs, obj_ids=obj_ids)
+    assert np.asarray(p_new).all() and np.asarray(p_ref).all()
+    np.testing.assert_allclose(np.asarray(f_new), np.asarray(f_ref),
+                               atol=1e-6)
+
+
+def test_obj_prior_packed_empty_scene(rng, tiny):
+    """No object present anywhere: all-zero features, all-False present
+    (the packed path pads an empty pair list to one full drop-chunk)."""
+    model, variables = tiny
+    ex = ClipExtractor(model, variables, mode="cls", img_resize=(32, 32),
+                       visual_prompt=("crop-mask",), crop_num_levels=1)
+    imgs = (rng.rand(2, H, W, 3) * 255).astype(np.uint8)
+    segs = np.zeros((2, H, W), np.int32)
+    feats, present = ex.extract_obj_prior(imgs, segs, obj_ids=[1, 2, 3])
+    assert not np.asarray(present).any()
+    assert np.asarray(feats).shape == (2, 3, 24)
+    assert (np.asarray(feats) == 0).all()
+
+
 def test_obj_prior_packed_matches_viewchunk(rng, tiny, monkeypatch):
     """The packed present-pair path (default) must reproduce the padded
     view-chunk path exactly: same prompt pipeline per (view, object),
