@@ -221,7 +221,8 @@ def main_fusion():
     # instead of backing up in an unbounded queue outside the clock
     writer = SceneWriter()
     times = []
-    phases = {"stage": [], "agg": [], "teacher": [], "fuse": []}
+    phases = {"stage": [], "agg": [], "teacher": [], "fuse": [],
+              "finalize": []}
     for i, s in enumerate(scenes):
         sync = i < n_phase  # phase-audit scenes; the rest run the
         # production async-tail pipeline and set the throughput number
@@ -243,6 +244,7 @@ def main_fusion():
             phases["agg"].append(stats["t_aggregate"])
             phases["teacher"].append(stats["t_teacher"])
             phases["fuse"].append(stats["t_fuse"])
+            phases["finalize"].append(stats["t_finalize"])
         if not sync:
             times.append(time.perf_counter() - t0)
     t0 = time.perf_counter()
@@ -268,6 +270,7 @@ def main_fusion():
         "agg_ms": round(1e3 * ph["agg"], 1),
         "teacher_ms": round(1e3 * ph["teacher"], 1),
         "fuse_ms": round(1e3 * ph["fuse"], 1),
+        "finalize_ms": round(1e3 * ph["finalize"], 1),
         "stage_ms": round(1e3 * ph["stage"], 1),
         "write_drain_ms": round(1e3 * drain / max(len(times), 1), 1),
         "other_ms": round(1e3 * other, 1),
@@ -874,6 +877,7 @@ def main_combined():
                    "ingest_agg_ms": "agg_ms",
                    "ingest_teacher_ms": "teacher_ms",
                    "ingest_fuse_ms": "fuse_ms",
+                   "ingest_finalize_ms": "finalize_ms",
                    "ingest_stage_ms": "stage_ms",
                    "ingest_other_ms": "other_ms"},
         "infer": {"infer_scenes_per_sec": "value", "infer_p50_ms": "p50_ms",

@@ -87,11 +87,17 @@ class ClipExtractor:
             tower's jit: one dispatch per scene instead of ~n_objects
             eager mean/stack/norm ops (each an extra host-link round trip
             on the tunneled TPU). Pad rows carry seg_id == n_segments and
-            fall off the segment_sum."""
-            embs = self.model.apply(variables, toks, method="encode_text")
+            fall off the segment_sum.
+
+            Stats accumulate in float32 regardless of the model dtype:
+            bf16 counts stop incrementing at 256 and a bf16 mean would
+            change the dtype of every downstream jit signature and stored
+            artifact vs the old eager float32 path."""
+            embs = self.model.apply(variables, toks, method="encode_text"
+                                    ).astype(jnp.float32)
             sums = jax.ops.segment_sum(embs, seg_ids,
                                        num_segments=n_segments + 1)
-            cnt = jax.ops.segment_sum(jnp.ones((embs.shape[0],), embs.dtype),
+            cnt = jax.ops.segment_sum(jnp.ones((embs.shape[0],), jnp.float32),
                                       seg_ids, num_segments=n_segments + 1)
             sums, cnt = sums[:n_segments], cnt[:n_segments]
             mean = sums / jnp.maximum(cnt, 1.0)[:, None]
@@ -214,13 +220,18 @@ class ClipExtractor:
         obj_ids: (K,) int object ids to extract (row k of the output is
         object obj_ids[k]).
 
-        Returns (feats (V, K, C), present (V, K) bool). Rows absent from a
-        view (id not in that view's seg) are computed-and-masked rather
-        than skipped (static shapes; reference extractor.py:389-395 skips).
-        To bound the waste, the per-view program runs at the count of ids
-        PRESENT ANYWHERE in the scene rounded up to ``bucket`` (one compile
-        per bucket size; ViT time scales linearly in the padded count, so
-        the bucket stays small), and rows beyond K are zero-padded.
+        Returns (feats (V, K, C), present (V, K) bool).
+
+        Default (packed) path: only the (view, object) pairs the
+        segmentation actually contains reach the ViT, in fixed-size
+        chunks; absent rows are zero. ``bucket`` is IGNORED here.
+
+        Fallback path (``DROPCLIP_PACKED_PROMPTS=0``): rows absent from a
+        view are computed-and-masked rather than skipped (static shapes;
+        reference extractor.py:389-395 skips). To bound the waste, the
+        per-view program runs at the count of ids PRESENT ANYWHERE in the
+        scene rounded up to ``bucket`` (one compile per bucket size), and
+        rows beyond K are zero-padded.
         """
         # images/seg_masks may already live on device (preferred: the
         # ingest path ships them once); present needs host-side uniques,

@@ -149,16 +149,19 @@ class ClipTokenizer:
         return re.sub(r"\s+", " ", text).strip()
 
     @functools.lru_cache(maxsize=16384)
-    def encode(self, text: str) -> List[int]:
+    def encode(self, text: str) -> Tuple[int, ...]:
         # cached per text: ingest re-tokenizes the same class-name /
         # attribute queries every scene, and the regex+BPE pass is
-        # GIL-held host work that serializes multi-device ingest workers
+        # GIL-held host work that serializes multi-device ingest workers.
+        # Returns an immutable tuple: the cache hands back the SAME object
+        # on every hit, so a mutable list would let any caller's in-place
+        # edit corrupt every later lookup of that text.
         ids: List[int] = []
         for word in _WORD_RE.findall(self._clean(text).lower()):
             word_bytes = "".join(self.byte_encoder[b]
                                  for b in word.encode("utf-8"))
             ids.extend(self.encoder[p] for p in self._bpe(word_bytes))
-        return ids
+        return tuple(ids)
 
     def decode(self, ids: Sequence[int]) -> str:
         text = "".join(self.decoder[i] for i in ids)
@@ -182,7 +185,7 @@ def tokenize(texts: Union[str, Sequence[str]],
     tk = default_tokenizer()
     out = np.zeros((len(texts), context_length), dtype=np.int32)
     for row, text in enumerate(texts):
-        ids = [tk.sot] + tk.encode(text) + [tk.eot]
+        ids = [tk.sot, *tk.encode(text), tk.eot]
         if len(ids) > context_length:
             if not truncate:
                 raise RuntimeError(

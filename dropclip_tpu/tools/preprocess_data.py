@@ -56,10 +56,15 @@ def embed_fusion_queries(extractor: ClipExtractor, obj_info: Dict,
     """{0: table, objects...} -> (Q, C) normalized mean-pooled embeddings
     (reference preprocess_data.py:252-265). Compacts to the real object
     rows; the ingest hot path uses the padded extractor.encode_queries
-    directly (one jit dispatch per scene)."""
+    directly (one jit dispatch per scene).
+
+    n_segments is jit-STATIC, so it is padded to a power-of-two bucket
+    (min 8) and sliced back: per-scene object counts otherwise recompile
+    the whole text tower for every distinct count."""
     queries = _fusion_query_texts(obj_info, scenario)
     n = max(queries) + 1
-    return extractor.encode_queries(queries, n_segments=n)
+    n_pad = max(8, 1 << (n - 1).bit_length())
+    return extractor.encode_queries(queries, n_segments=n_pad)[:n]
 
 
 class SceneWriter:
@@ -200,6 +205,9 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
                        use_similarity=use_similarity, sim_kernel=sim_kernel)
     fused = _fuse_jit(xyz, dev_depths, dev_segs, dev_poses, obj_feats,
                       present, query_embs, dev_K, cfg, obj_valid=obj_valid)
+    if sync_timings:  # sync the FUSE phase only; the finalize tail
+        np.asarray(fused.obj_features[:1, :1])  # (fetch+write) is timed
+    t_fuse = time.time() - t0  # separately as t_finalize below
 
     def _finalize() -> Dict:
         # device->host fetches (~15 MB over the host link) + compaction +
@@ -221,10 +229,15 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
                     rgb=np.asarray(rgb)[sel], label=np.asarray(labels)[sel],
                     vis_mask=vis_mask, obj_feats=obj_out,
                     objects_info=obj_info)
-        return {"points": int(sel.sum()), "objects": n_real,
-                "nan_objects": int(nan_rows.sum())}
+        stats = {"points": int(sel.sum()), "objects": n_real,
+                 "nan_objects": int(nan_rows.sum())}
+        if stats["points"] == 0:
+            print(f"WARNING: 0 points survived compaction -> {out_path} "
+                  f"(all points table/pad or invisible in every view)",
+                  flush=True)
+        return stats
 
-    timings = {"t_aggregate": t_agg, "t_teacher": t_clip}
+    timings = {"t_aggregate": t_agg, "t_teacher": t_clip, "t_fuse": t_fuse}
     if writer is not None and not sync_timings:
         # async tail: the writer thread pulls THIS scene's outputs over
         # the host link and writes the h5 while the main thread dispatches
@@ -232,11 +245,18 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
         # write leave the critical path entirely. One-slot SceneWriter
         # semantics keep the backpressure: a slow disk/link stalls the
         # NEXT submit, never accumulates unbounded scene payloads.
-        writer.submit(_finalize)
-        timings["t_fuse"] = time.time() - t0  # dispatch cost only
+        def _finalize_logged() -> None:
+            # the quality stats (points / objects / nan_objects) must stay
+            # visible in the production async path too: a systematically
+            # broken teacher or fusion run surfaces as nan_objects, not as
+            # an exception
+            print(f"{out_path}: {_finalize()}", flush=True)
+
+        writer.submit(_finalize_logged)
         return timings
+    t0 = time.time()
     stats = _finalize()
-    timings["t_fuse"] = time.time() - t0
+    timings["t_finalize"] = time.time() - t0
     return {**stats, **timings}
 
 

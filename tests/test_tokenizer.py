@@ -45,7 +45,7 @@ def hf_tok(tmp_path_factory):
 
 @pytest.mark.parametrize("text", SAMPLES)
 def test_encode_matches_hf(hf_tok, text):
-    ours = default_tokenizer().encode(text)
+    ours = list(default_tokenizer().encode(text))  # encode returns a tuple
     theirs = hf_tok(text)["input_ids"][1:-1]  # strip SOT/EOT
     assert ours == theirs, (text, ours, theirs)
 
