@@ -187,6 +187,13 @@ def eval_scene(raw: Dict, extractor, args) -> Dict[str, float]:
                           for t in v2]
                 negs = (extractor.encode_text(others) if others else
                         extractor.encode_text(NEGATIVE_PROMPT_GENERIC))
+            elif args.sim_negatives == "all":
+                # every dataset class name except this object's class (and
+                # the table) — reference scripts/run_eval.py:262-263
+                cls = str(obj_info[obj_id].get("cls_name", ""))
+                others = [c for c in args._cls_list if c not in (cls, "table")]
+                negs = (extractor.encode_text(others) if others else
+                        extractor.encode_text(NEGATIVE_PROMPT_GENERIC))
             elif args.sim_negatives == "none":
                 negs = None
             else:
@@ -235,7 +242,8 @@ def main() -> None:
     p.add_argument("--eval_scenario", default="cls")
     p.add_argument("--sim_method", choices=["paired", "argmax"],
                    default="paired")
-    p.add_argument("--sim_negatives", choices=["generic", "scene", "none"],
+    p.add_argument("--sim_negatives",
+                   choices=["generic", "scene", "none", "all"],
                    default="generic")
     p.add_argument("--sim_thr", type=float, default=0.75)
     p.add_argument("--voxel_size", type=float, default=0.01)
@@ -289,6 +297,17 @@ def main() -> None:
                                [0, 0, 1]], np.float32),
                 "objects_info": scene["objects_info"],
             })
+
+    # dataset-wide class vocabulary for --sim_negatives all (reference
+    # run_eval.py:263 uses dataset.id_to_name): Blender has a fixed label
+    # map; for Synthetic the generated scenes ARE the dataset.
+    if args.dataset == "Blender":
+        args._cls_list = sorted({str(n) for n in ds.id_to_name.values()})
+    else:
+        args._cls_list = sorted({
+            str(v["cls_name"]) for s in scenes
+            for v in s["objects_info"].values()
+            if isinstance(v, dict) and "cls_name" in v})
 
     results = []
     for i, raw in enumerate(scenes):

@@ -17,7 +17,7 @@ CACHE=${CACHE-results/sim_kernel/.feat_cache}
 mkdir -p results/sim_kernel
 for kernel in max mean; do
   for kq in cls open; do
-    for neg in generic scene none; do
+    for neg in generic scene none all; do
       for method in paired argmax; do
         tag="kernel-${kernel}_kq-${kq}_neg-${neg}_method-${method}"
         echo "=== $tag ==="

@@ -101,3 +101,23 @@ def test_run_eval_teacher_cache(monkeypatch, capsys, tmp_path):
     second = json.loads([l for l in capsys.readouterr().out.splitlines()
                          if l.startswith("{")][-1])
     assert first["mean"] == second["mean"]
+
+
+@pytest.mark.slow
+def test_run_eval_all_negatives(monkeypatch, capsys):
+    """--sim_negatives all: every dataset class except the target's own
+    is the negative set (reference scripts/run_eval.py:262-263; the
+    RUN_sim_kernel.bash grid runs this arm)."""
+    from dropclip_tpu.tools import run_eval
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_eval", "-ds", "Synthetic", "--n-scenes", "1",
+        "--clip-model", "tiny-test", "--cloud_capacity", "4096",
+        "--max_objects", "8", "--voxel_size", "0.02",
+        "--sim_negatives", "all"])
+    run_eval.main()
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["n_scenes"] == 1
+    assert np.isfinite(res["mean"]["mIoU"])
