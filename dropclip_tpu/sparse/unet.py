@@ -255,6 +255,9 @@ UNET_ARCHS: Dict[str, Tuple[str, Tuple[int, ...], Tuple[int, ...]]] = {
     "MinkUNet101E": ("bottleneck", (2, 3, 4, 23, 2, 2, 2, 2), (96, 192, 384, 768, 384, 192, 96, 96)),
     # miniature arch for tests/smoke runs (CPU-compilable in seconds)
     "tiny": ("basic", (1,) * 8, (4, 4, 8, 8, 8, 8, 4, 4)),
+    # bottleneck twin of "tiny": CPU-fast coverage of the Bottleneck
+    # branch (conv3 + the expansion-4 shapes) in round-trip/parity tests
+    "tiny_bn": ("bottleneck", (1,) * 8, (4, 4, 8, 8, 8, 8, 4, 4)),
 }
 
 

@@ -129,6 +129,16 @@ def main() -> None:
         auto_scores = _probe_order_scores(
             cfg, sd, ("x_fastest", "z_fastest"), a.probe_data,
             a.probe_split, a.probe_scenes)
+        import math
+
+        bad = {k: v for k, v in auto_scores.items() if not math.isfinite(v)}
+        if bad:
+            # NaN compares False everywhere: min() would silently return
+            # the first order and the gap warning below would never fire
+            raise SystemExit(
+                f"--offset-order auto: non-finite probe loss {bad} — the "
+                "checkpoint or probe scenes are corrupt; pick the order "
+                "explicitly or fix the probe data")
         offset_order = min(auto_scores, key=auto_scores.get)
         lo, hi = sorted(auto_scores.values())
         print(f"auto offset order: {offset_order} "

@@ -83,17 +83,33 @@ class SceneWriter:
 
         self._pool = ThreadPoolExecutor(1)
         self._fut = None
+        self._tag = None
+        #: (tag, return value) per completed submit — programmatic callers
+        #: of the async path read truncation/NaN stats here instead of
+        #: scraping the writer thread's log lines (ADVICE r3)
+        self.results = []
 
-    def submit(self, fn, *args, **kwargs):
-        if self._fut is not None:
-            self._fut.result()  # join + re-raise the previous write
+    def _join(self):
+        if self._fut is None:
+            return
+        fut, tag = self._fut, self._tag
+        self._fut = self._tag = None
+        try:
+            self.results.append((tag, fut.result()))
+        except Exception as e:
+            # name the scene that FAILED: the join happens on the next
+            # scene's submit, which would otherwise take the blame
+            raise RuntimeError(
+                f"async scene finalize failed for {tag!r}") from e
+
+    def submit(self, fn, *args, tag=None, **kwargs):
+        self._join()  # join + re-raise the previous write
+        self._tag = tag
         self._fut = self._pool.submit(fn, *args, **kwargs)
 
     def close(self):
         try:
-            if self._fut is not None:
-                fut, self._fut = self._fut, None
-                fut.result()
+            self._join()
         finally:
             self._pool.shutdown(wait=True)
 
@@ -245,14 +261,17 @@ def process_scene(images: np.ndarray, depths: np.ndarray, segs: np.ndarray,
         # write leave the critical path entirely. One-slot SceneWriter
         # semantics keep the backpressure: a slow disk/link stalls the
         # NEXT submit, never accumulates unbounded scene payloads.
-        def _finalize_logged() -> None:
+        def _finalize_logged() -> Dict:
             # the quality stats (points / objects / nan_objects) must stay
             # visible in the production async path too: a systematically
             # broken teacher or fusion run surfaces as nan_objects, not as
-            # an exception
-            print(f"{out_path}: {_finalize()}", flush=True)
+            # an exception; the return value also lands in writer.results
+            # for programmatic callers (ADVICE r3)
+            stats = _finalize()
+            print(f"{out_path}: {stats}", flush=True)
+            return stats
 
-        writer.submit(_finalize_logged)
+        writer.submit(_finalize_logged, tag=out_path)
         return timings
     t0 = time.time()
     stats = _finalize()

@@ -18,12 +18,17 @@ from dropclip_tpu.sparse.unet import UNET_ARCHS, MinkUNet
 ARCH = "tiny"
 
 
+# tiny_bn exercises the Bottleneck branch (conv3, expansion-4 widths) the
+# basic-block arch never touches (ADVICE r3: the docstring's "every
+# arch/order" claim was only tested on basic blocks)
+@pytest.mark.parametrize("arch", ["tiny", "tiny_bn"])
 @pytest.mark.parametrize("order", ["x_fastest", "z_fastest"])
-def test_roundtrip(rng, order):
+def test_roundtrip(rng, order, arch):
     from test_sparse_topology import make_coords
 
     from dropclip_tpu.sparse.topology import build_unet_topology
 
+    ARCH = arch
     block, layers, planes = UNET_ARCHS[ARCH]
     model = MinkUNet(out_channels=16, block=block, layers=layers,
                      planes=planes, init_dim=4)
