@@ -4,7 +4,9 @@ With BENCH_METRIC unset, ALL modes below run and one combined JSON line
 is emitted (lead metric = fused scenes/sec, plus infer p50, train
 throughput, and the synthetic e2e val mIoU/Pr@k — the three BASELINE.md
 headline metrics from one invocation). BENCH_METRIC selects a single
-mode: ``fusion`` | ``infer`` | ``train`` | ``metrics``.
+mode: ``fusion`` | ``infer`` | ``train`` | ``metrics`` |
+``ingest_scaling`` (the last also runs in the combined default, on
+virtual CPU devices, under its own BENCH_SCALING_TIMEOUT budget).
 
 Modes:
 
@@ -220,7 +222,7 @@ def main_fusion():
     # previous write, so slow writes show up IN the per-scene times
     # instead of backing up in an unbounded queue outside the clock
     writer = SceneWriter()
-    times = []
+    times, sync_walls = [], []
     phases = {"stage": [], "agg": [], "teacher": [], "fuse": [],
               "finalize": []}
     for i, s in enumerate(scenes):
@@ -245,6 +247,7 @@ def main_fusion():
             phases["teacher"].append(stats["t_teacher"])
             phases["fuse"].append(stats["t_fuse"])
             phases["finalize"].append(stats["t_finalize"])
+            sync_walls.append(time.perf_counter() - t0)
         if not sync:
             times.append(time.perf_counter() - t0)
     t0 = time.perf_counter()
@@ -253,15 +256,20 @@ def main_fusion():
     # steady-state rate over the ASYNC scenes INCLUDING the final
     # write/fetch drain — the sustainable pipeline rate
     scenes_per_sec = len(times) / (float(np.sum(times)) + drain)
-    # per-phase means over the SYNCED scenes (VERDICT r2 #2c: the
-    # envelope claim must be auditable per round). "other" = per-scene
-    # residue of the ASYNC pipeline not in any synced phase (dispatch
-    # gaps, writer joins, host link contention) — item 2b's number; it
-    # can be negative when the async tail hides synced-phase time.
+    # Phase audit (VERDICT r2 #2c / r3 #3): every key comes from ONE
+    # regime so the books balance. Phase means + "other" are measured on
+    # the SYNCED scenes (other = that same scene's wall minus its phase
+    # sum: dispatch gaps, writer joins, host-link residue — >= 0 by
+    # construction, modulo clock noise). The async pipeline's win over
+    # the synced regime is the separate, also-non-negative "overlap" key:
+    # sync wall - async wall = the finalize/fetch time the async tail
+    # hides under the next scene's compute.
     ph = {k: float(np.mean(v)) for k, v in phases.items()}
     drain_amort = drain / max(len(times), 1)
-    per_scene = float(np.mean(times)) + drain_amort
-    other = per_scene - sum(ph.values()) - drain_amort
+    sync_wall = float(np.mean(sync_walls)) if sync_walls else 0.0
+    async_wall = float(np.mean(times)) + drain_amort
+    other = max(sync_wall - sum(ph.values()), 0.0)
+    overlap = max(sync_wall - async_wall, 0.0)
     return {
         "metric": "fused_scenes_per_sec",
         "value": round(scenes_per_sec, 3),
@@ -272,8 +280,11 @@ def main_fusion():
         "fuse_ms": round(1e3 * ph["fuse"], 1),
         "finalize_ms": round(1e3 * ph["finalize"], 1),
         "stage_ms": round(1e3 * ph["stage"], 1),
-        "write_drain_ms": round(1e3 * drain / max(len(times), 1), 1),
         "other_ms": round(1e3 * other, 1),
+        "sync_wall_ms": round(1e3 * sync_wall, 1),
+        "overlap_ms": round(1e3 * overlap, 1),
+        "async_wall_ms": round(1e3 * async_wall, 1),
+        "write_drain_ms": round(1e3 * drain_amort, 1),
     }
 
 
@@ -866,7 +877,11 @@ def main_combined():
     remaining device mode — wedges have been observed to clear mid-run,
     and round 2 lost every device metric by latching one failed probe.
     The metrics mode is quality-only and falls back to CPU."""
-    modes = ["fusion", "infer", "train", "metrics"]
+    # ingest_scaling runs last and on VIRTUAL CPU devices (it can't wedge
+    # the chip); its subprocess budget is capped separately so the
+    # orchestration-efficiency datapoint can never eat the driver budget
+    # the headline modes need (VERDICT r3 #5)
+    modes = ["fusion", "infer", "train", "metrics", "ingest_scaling"]
     results, errors = {}, {}
     on_cpu = _on_cpu()
     healthy = True if on_cpu else _probe_device(*_probe_params())
@@ -879,14 +894,20 @@ def main_combined():
                    "ingest_fuse_ms": "fuse_ms",
                    "ingest_finalize_ms": "finalize_ms",
                    "ingest_stage_ms": "stage_ms",
-                   "ingest_other_ms": "other_ms"},
+                   "ingest_other_ms": "other_ms",
+                   "ingest_sync_wall_ms": "sync_wall_ms",
+                   "ingest_overlap_ms": "overlap_ms",
+                   "ingest_async_wall_ms": "async_wall_ms"},
         "infer": {"infer_scenes_per_sec": "value", "infer_p50_ms": "p50_ms",
                   "vs_baseline_infer": "vs_baseline"},
         "train": {"train_scenes_per_sec": "value",
                   "vs_baseline_train": "vs_baseline"},
         "metrics": {"val_miou": "value", "val_pr50": "val_pr50",
+                    "val_pr75": "val_pr75",
                     "upper_bound_miou": "upper_bound_miou",
                     "student_over_upper_bound": "student_over_upper_bound"},
+        "ingest_scaling": {"ingest_scaling_efficiency": "value",
+                           "ingest_scaling_sps": "scenes_per_sec"},
     }
 
     def combined_line():
@@ -909,7 +930,11 @@ def main_combined():
 
     retries, timeout_s, backoff_s = _probe_params()
     for name in modes:
-        needs_device = (name != "metrics") and not on_cpu
+        # metrics falls back to CPU; ingest_scaling ALWAYS runs on forced
+        # virtual CPU devices (subprocesses set JAX_PLATFORMS=cpu) — a
+        # wedged chip must not skip it
+        needs_device = (name not in ("metrics", "ingest_scaling")) \
+            and not on_cpu
         if needs_device and not healthy:
             # cheaper re-probe: the long patience was spent up front
             healthy = _probe_device(max(retries // 2, 1), timeout_s,
@@ -925,8 +950,12 @@ def main_combined():
             env["JAX_PLATFORMS"] = "cpu"
             print("# bench: running quality metrics on CPU (device wedged)",
                   flush=True)
+        budget = _mode_budget_s()
+        if name == "ingest_scaling":
+            budget = min(budget, float(
+                os.environ.get("BENCH_SCALING_TIMEOUT", 900)))
         t0 = time.perf_counter()
-        rc, parsed = _run_mode_subprocess(name, env, _mode_budget_s())
+        rc, parsed = _run_mode_subprocess(name, env, budget)
         dt = time.perf_counter() - t0
         if parsed is not None and "error" not in parsed:
             results[name] = parsed
