@@ -380,7 +380,7 @@ def main_metrics():
     from dropclip_tpu.data.synthetic import make_raw_scene
     from dropclip_tpu.distill.engine import (DistilBatch, build_student_for,
                                              build_topology, make_eval_step,
-                                             make_train_step)
+                                             make_scanned_train)
     from dropclip_tpu.distill.evaluate import validate_grounding
     from dropclip_tpu.distill.train_state import (create_train_state,
                                                   make_optimizer)
@@ -420,12 +420,18 @@ def main_metrics():
             e = np.asarray(base.encode_text(anchors), np.float64)
             _, s, vt = np.linalg.svd(e, full_matrices=False)
             self._w = (vt.T / s) @ vt  # (C, C): anchors -> orthonormal
+            self._cache = {}  # prompts are 7 fixed strings, but the eval
+            # loop re-encodes per query — each a device dispatch (a tunnel
+            # round-trip); memoizing removes ~hundreds of them
 
         def encode_text(self, prompts):
-            e = np.asarray(self.base.encode_text(list(prompts)), np.float64)
-            w = e @ self._w
-            w /= np.linalg.norm(w, axis=-1, keepdims=True)
-            return jnp.asarray(w.astype(np.float32))
+            k = tuple(prompts)
+            if k not in self._cache:
+                e = np.asarray(self.base.encode_text(list(k)), np.float64)
+                w = e @ self._w
+                w /= np.linalg.norm(w, axis=-1, keepdims=True)
+                self._cache[k] = jnp.asarray(w.astype(np.float32))
+            return self._cache[k]
 
     clip_sim = _WhitenedSim(base_sim, ["table"] + names)
 
@@ -493,7 +499,9 @@ def main_metrics():
         # (Those sweeps used the old shared-rng splits; on the current
         # per-split rngs the default recipe measures 74.3 mIoU / 0.76x
         # the 97.7 upper bound — the val DRAW changed, not the model.)
-        base_lr=1e-2, min_lr=1e-3, epochs=8 if smoke else 200,
+        base_lr=1e-2, min_lr=1e-3,
+        epochs=8 if smoke else int(os.environ.get("BENCH_METRICS_EPOCHS",
+                                                  200)),
         weight_decay=1e-5, max_norm=5.0, remat=False,
         brick_shape=[4, 4, 2]))
 
@@ -533,19 +541,42 @@ def main_metrics():
     topo0 = build_topology(cfg, ex.coords, ex.mask)
     tx = make_optimizer(cfg, iters_per_epoch=max(len(train_ds) // bsz, 1))
     state = create_train_state(model, topo0, ex.in_feats, tx)
-    step = jax.jit(make_train_step(cfg), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(cfg))
 
-    srng = np.random.default_rng(1)
+    # Scanned trainer (VERDICT r3 #2): the r3 loop paid one device
+    # dispatch + host re-collate per optimizer step — through the axon
+    # tunnel that was ~930 s of the driver budget with the MXU nearly
+    # idle. ds[i] is deterministic here (set_epoch is never called), so
+    # pre-staging the dataset once and gathering batches by index inside
+    # lax.scan is bit-identical to re-collating per epoch (the schedule
+    # below consumes srng exactly like batches_of did, and the scan body
+    # runs the same jax.random.split chain) — the whole 200-epoch loop
+    # becomes ~epochs/25 dispatches.
+    data_all = to_batch(collate([train_ds[i] for i in range(len(train_ds))]))
+    n, srng = len(train_ds), np.random.default_rng(1)
+    sched = []
+    for _ in range(int(cfg.epochs)):
+        idx = np.arange(n)
+        srng.shuffle(idx)
+        idx = idx[: (n // bsz) * bsz] if n >= bsz else idx
+        for i in range(0, len(idx), bsz):
+            row = list(idx[i:i + bsz])
+            while len(row) < bsz:
+                row.append(row[-1])
+            sched.append(row)
+    sched = np.asarray(sched, np.int32)  # (total_steps, bsz)
+    steps_per_epoch = max(len(sched) // int(cfg.epochs), 1)
+
+    chunk_fn = jax.jit(make_scanned_train(cfg), donate_argnums=0)
     key = jax.random.PRNGKey(0)
-    for epoch in range(int(cfg.epochs)):
-        for b in batches_of(train_ds, srng):
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, to_batch(b), sub)
-        if epoch % 10 == 0:
-            print(f"# metrics e2e: epoch {epoch} "
-                  f"distil_loss {float(metrics['distil_loss']):.4f}",
-                  flush=True)
+    rows_per_chunk = steps_per_epoch * 25
+    for c0 in range(0, len(sched), rows_per_chunk):
+        rows = sched[c0:c0 + rows_per_chunk]
+        state, key, mstack = chunk_fn(state, data_all, jnp.asarray(rows), key)
+        print(f"# metrics e2e: epoch {(c0 + len(rows)) // steps_per_epoch} "
+              f"distil_loss "
+              f"{float(np.asarray(mstack['distil_loss'])[-1]):.4f}",
+              flush=True)
 
     val_batches = batches_of(val_ds)
 

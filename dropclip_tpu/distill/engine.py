@@ -148,6 +148,48 @@ def make_train_step(cfg):
     return train_step
 
 
+def make_scanned_train(cfg):
+    """Scan ``train_step`` over a precomputed scene-index schedule in ONE
+    XLA program — the whole multi-epoch loop becomes a handful of device
+    dispatches.
+
+    A per-step python loop pays one dispatch (and, through a tunneled
+    device, one network round-trip) plus host-side batch assembly per
+    optimizer step; for the reference's small-batch distillation recipe
+    (engine/distil.py:99-230: bsz 4-8, hundreds of epochs) that overhead
+    dominates wall clock. Here the caller pre-stages the whole padded
+    static-shape dataset as one DistilBatch with a leading scene axis and
+    passes the shuffle order as data:
+
+      data:     DistilBatch, each field (n_scenes, ...)
+      schedule: (steps, B) int32 — row t holds the scene indices of step t
+      key:      dropout PRNG key; the scan body performs the same
+                ``key, sub = jax.random.split(key)`` chain a python loop
+                would, so trajectories are reproduced exactly.
+
+    Returns ``train_chunk(state, data, schedule, key) -> (state, key,
+    metrics)`` with every step's scalar metrics stacked on axis 0. Chunk
+    the schedule (e.g. 25 epochs per call) to keep progress visible and
+    memory for stacked metrics trivial; jit with ``donate_argnums=0`` so
+    the state buffers are reused across chunks.
+    """
+    train_step = make_train_step(cfg)
+
+    def train_chunk(state: DistilTrainState, data: DistilBatch,
+                    schedule: jnp.ndarray, key: jax.Array):
+        def body(carry, idx):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
+            state, metrics = train_step(state, batch, sub)
+            return (state, key), metrics
+
+        (state, key), metrics = jax.lax.scan(body, (state, key), schedule)
+        return state, key, metrics
+
+    return train_chunk
+
+
 def topology_dropped(topo) -> jnp.ndarray:
     """Scalar count of units the topology silently truncated (capacity
     overflow / out-of-extent — sparse/bricks.py ``BrickTopology.dropped``).

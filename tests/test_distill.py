@@ -169,6 +169,54 @@ def test_train_step_reduces_loss(rng):
     assert int(state.step) == 8
 
 
+def test_scanned_train_matches_python_loop(rng):
+    """make_scanned_train over 2 chunks == 6 python-loop steps: same
+    jax.random.split chain, same batch gathers, same final params."""
+    from dropclip_tpu.distill.engine import make_scanned_train
+
+    model = tiny_model()
+    n_scenes, bsz, cap = 4, 2, 64
+    cs, ms = zip(*[make_coords(rng, 40, cap) for _ in range(n_scenes)])
+    data = DistilBatch(
+        coords=jnp.stack(cs), mask=jnp.stack(ms),
+        in_feats=jnp.asarray(rng.randn(n_scenes, cap, 6).astype(np.float32)),
+        targets=jnp.asarray(rng.randn(n_scenes, cap, 16).astype(np.float32)),
+        labels=jnp.asarray(rng.randint(0, 4, (n_scenes, cap)).astype(np.int32)),
+        labels_cls=jnp.zeros((n_scenes, cap), jnp.int32))
+    schedule = np.array([[0, 1], [2, 3], [1, 2], [3, 0], [0, 2], [1, 3]],
+                        np.int32)
+
+    def gather(idx):
+        return jax.tree.map(lambda a: a[np.asarray(idx)], data)
+
+    topo = build_unet_topology(data.coords[:bsz], data.mask[:bsz])
+    tx = make_optimizer(CFG, iters_per_epoch=3)
+    state0 = create_train_state(model, topo, data.in_feats[:bsz], tx)
+
+    # python loop
+    step = jax.jit(make_train_step(CFG))
+    state_ref, key = state0, jax.random.PRNGKey(7)
+    ref_losses = []
+    for idx in schedule:
+        key, sub = jax.random.split(key)
+        state_ref, m = step(state_ref, gather(idx), sub)
+        ref_losses.append(float(m["distil_loss"]))
+
+    # two scanned chunks through the same schedule
+    chunk = jax.jit(make_scanned_train(CFG), donate_argnums=0)
+    state_s, key_s = state0, jax.random.PRNGKey(7)
+    losses = []
+    for rows in (schedule[:3], schedule[3:]):
+        state_s, key_s, metrics = chunk(state_s, data, jnp.asarray(rows), key_s)
+        losses.extend(np.asarray(metrics["distil_loss"]).tolist())
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5, atol=1e-6)
+    assert int(state_s.step) == int(state_ref.step) == len(schedule)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state_ref.params, state_s.params)
+    assert max(jax.tree.leaves(d)) < 1e-4
+
+
 def test_eval_step(rng):
     model = tiny_model()
     batch = make_batch(rng)
