@@ -440,19 +440,23 @@ def main_metrics():
     root = f"/tmp/bench_metrics_ds_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     n_objects = 4
-    # BENCH_METRICS_TRAIN_SCENES: recipe-sweep override (val/train loss
-    # gap says generalization — scene count is the lever). Each split
-    # draws from its OWN fixed-seed rng so sweeping the train-scene
-    # count leaves the val set bit-identical (a shared rng made the
-    # 8-vs-16 sweep incomparable: the extra train draws shifted the
-    # test scenes, and the fusion upper bound moved 97.2 -> 94.3).
+    # BENCH_METRICS_TRAIN_SCENES: recipe knob (val/train loss gap says
+    # generalization — scene count is the lever). Each split draws from
+    # its OWN fixed-seed rng so sweeping the train-scene count leaves
+    # the val set bit-identical (a shared rng made the 8-vs-16 sweep
+    # incomparable: the extra train draws shifted the test scenes, and
+    # the fusion upper bound moved 97.2 -> 94.3). Default 32 is the
+    # r4 sweep winner on the fixed 64-query val draw (VERDICT r3 #1;
+    # full table in PERF.md): 8 -> 0.758x ub / Pr@75 50.0,
+    # 16 -> 0.912x / 89.1, 32 -> 0.993x / 100.0, 64 -> 0.993x / 100.0
+    # — 32 saturates the gate at half the wall of 64.
     # 16 test scenes x 4 objects = 64 grounding queries: Pr@k resolves in
     # ~1.6% steps instead of r2's 6.25% (VERDICT r2 #3 — the 16-query gate
     # couldn't see a multi-point regression). Train size unchanged, so the
     # student and its wall-clock match earlier rounds; only the val draw
     # is finer.
     n_train, n_test = (2, 1) if smoke else (
-        int(os.environ.get("BENCH_METRICS_TRAIN_SCENES", 8)),
+        int(os.environ.get("BENCH_METRICS_TRAIN_SCENES", 32)),
         int(os.environ.get("BENCH_METRICS_TEST_SCENES", 16)))
     for split, ns, rng in (("train", n_train, np.random.default_rng(0)),
                            ("test", n_test, np.random.default_rng(1))):
@@ -497,8 +501,10 @@ def main_metrics():
         # dropout 0.1 -0.2, 2x width +0.5 (and 2x width at 200 epochs
         # -1.6 mIoU / +12.5 Pr@75 — width trades the headline for tails).
         # (Those sweeps used the old shared-rng splits; on the current
-        # per-split rngs the default recipe measures 74.3 mIoU / 0.76x
-        # the 97.7 upper bound — the val DRAW changed, not the model.)
+        # per-split rngs the 8-scene recipe measures 73.2 mIoU / 0.758x
+        # the 96.6 upper bound — the val DRAW changed, not the model.
+        # The r4 train-scene sweep then closed that gap: the 32-scene
+        # default scores 95.9 mIoU / 0.993x, Pr@75 100.)
         base_lr=1e-2, min_lr=1e-3,
         epochs=8 if smoke else int(os.environ.get("BENCH_METRICS_EPOCHS",
                                                   200)),
