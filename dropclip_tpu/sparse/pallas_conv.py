@@ -16,8 +16,18 @@ Status (measured, v5e): 68 ms vs the XLA path's 39 ms amortized on the
 (8192 bricks, C=384) hot shape — XLA's dense conv already runs at MXU
 peak and this kernel's sequential per-brick DMA waits + halo pad/sum
 assembly cost more than the HBM halo round-trip they avoid. Kept as an
-OPT-IN backend: it is the foundation for fusing BN/ReLU epilogues and
-double-buffered DMA into the conv, which XLA cannot express.
+OPT-IN backend for the isotropic 4^3 layout.
+
+The planned v2 ("assemble the halo by 27 sub-brick slab DMAs with a
+BN/ReLU epilogue") is UNIMPLEMENTABLE on current Mosaic: DMA slices
+along the second-minor (sublane-tiled) dim must be multiples of the
+8-row tile, and every halo slab of a (4, 4, 2) or (4, 4, 4) brick
+needs 1- or 2-wide z slices (measured on hardware: `Slice shape along
+dimension 4 must be aligned to tiling (8), but is 2`). The TPU-native
+answer is a layout change, not a cleverer brick kernel: see
+sparse/pallas_pillar.py — full-height z-column ("pillar") blocks make
+every neighbor copy a full-block DMA and every z-tap an in-register
+row shift.
 """
 
 from __future__ import annotations
@@ -144,7 +154,7 @@ def pallas_brick_conv3(feats: jnp.ndarray, nbr: jnp.ndarray,
             # counts; it is only read in the body, never in an index_map)
             pl.BlockSpec((TILE, 27), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # feats stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # feats stay in HBM
             pl.BlockSpec((27, c, cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

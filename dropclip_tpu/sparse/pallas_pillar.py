@@ -1,0 +1,216 @@
+"""Pallas TPU kernel: fused submanifold conv3 in PILLAR layout.
+
+TPU-native answer to the reference's MinkowskiEngine 3x3x3 submanifold
+convolution (reference models/minkunet.py:49-126): instead of hash-map
+gather/scatter (voxel-level dynamic indexing the MXU cannot feed from),
+voxels are grouped into full-height z-columns — "pillars" — of shape
+(Z, C) at each occupied (x, y) site.
+
+Why pillars and not halo bricks: Mosaic requires DMA slices along the
+second-minor (sublane-tiled) dim to be multiples of the 8-row tile, so
+the classic "assemble a (bx+2, by+2, bz+2) halo by 27 slab DMAs" design
+is unimplementable for brick extents < 8 (measured: `Slice shape along
+dimension 4 must be aligned to tiling (8), but is 2`). Pillars dissolve
+the problem:
+
+  * the 9 xy-neighbor copies are FULL-BLOCK (Z, C) DMAs — always legal,
+    and only 9x feature bytes move per output pillar (the whole-brick
+    v1 kernel moved 27x);
+  * the 3 z-taps become in-register row shifts of an already-resident
+    column — zero extra bytes, and the zero pad at the column ends IS
+    the correct boundary semantics (outside the scene is empty), so no
+    cross-block z logic exists at all;
+  * every tap matmul is (TILE*Z, C) @ (C, Cout) — MXU-shaped rows with
+    layout-free reshapes (Z is a multiple of the sublane tile).
+
+The kernel double-buffers pillar DMAs across grid steps (tile i+1's 9*T
+copies overlap tile i's 27 matmuls) and fuses the folded-BN scale/bias
++ ReLU + occupancy-mask epilogue that XLA otherwise runs as a separate
+HBM pass after its conv.
+
+Layouts: feats (P+1, Z, C) bf16 (row P = zeros: neighbor misses read
+silence), nbr (P, 9) int32 xy-neighbor rows (miss -> P), weights
+(9, 3, C, Cout) = (xy-dir, dz+1, C, Cout), occ (P, Z) bool.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# xy-direction order: dx-major, dy-minor, both ascending; index 4 is the
+# pillar itself (matching nbr[:, 4] == row in a well-formed table).
+PILLAR_DIRS = tuple((dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+
+P_TILE = 4  # output pillars per grid step
+
+
+def _z_shift(col: jnp.ndarray, dz: int) -> jnp.ndarray:
+    """shifted[..., z, :] = col[..., z + dz, :], zero-padded at the ends
+    (outside the scene is empty — exactly submanifold conv semantics)."""
+    if dz == 0:
+        return col
+    if dz == -1:
+        return jnp.pad(col[..., :-1, :], ((0, 0), (1, 0), (0, 0)))
+    return jnp.pad(col[..., 1:, :], ((0, 0), (0, 1), (0, 0)))
+
+
+def _pillar_kernel(nbr_ref, feats_hbm, w_ref, scale_ref, bias_ref,
+                   occ_ref, out_ref, buf, sems, *, z, n_tiles, relu):
+    """Grid (n_tiles,): P_TILE output pillars per step.
+
+    nbr_ref: the FULL (P, 9) table as a scalar-prefetch SMEM operand —
+    9 ints per pillar keeps it within the SMEM budget at production
+    pillar counts (P=8192 -> 295 KB), and the double buffer can address
+    any tile's rows directly. buf: (2, P_TILE, 9, Z, C) VMEM — slot i%2
+    holds tile i's neighbor columns. sems: (2, P_TILE, 9) DMA
+    semaphores.
+    """
+    c = w_ref.shape[2]
+    cout = w_ref.shape[3]
+    i = pl.program_id(0)
+
+    def copies(slot, base):
+        return [pltpu.make_async_copy(feats_hbm.at[nbr_ref[base + t, j]],
+                                      buf.at[slot, t, j], sems.at[slot, t, j])
+                for t in range(P_TILE) for j in range(9)]
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    # prefetch tile i+1 into the other slot before blocking on this tile
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        for cp in copies(1 - slot, (i + 1) * P_TILE):
+            cp.start()
+
+    for cp in copies(slot, i * P_TILE):
+        cp.wait()
+
+    acc = jnp.zeros((P_TILE * z, cout), jnp.float32)
+    for j in range(9):
+        col = buf[slot, :, j]  # (P_TILE, Z, C)
+        for dzi, dz in enumerate((-1, 0, 1)):
+            rows = _z_shift(col, dz).reshape(P_TILE * z, c)
+            acc = acc + jnp.dot(rows, w_ref[j, dzi],
+                                preferred_element_type=jnp.float32)
+
+    y = acc * scale_ref[0][None, :] + bias_ref[0][None, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    y = y * occ_ref[...].astype(jnp.float32)
+    out_ref[...] = y.astype(out_ref.dtype).reshape(P_TILE, z, cout)
+
+
+@partial(jax.jit, static_argnames=("relu", "interpret"))
+def pallas_pillar_conv3(feats: jnp.ndarray, nbr: jnp.ndarray,
+                        weights: jnp.ndarray, occ: jnp.ndarray,
+                        scale: jnp.ndarray, bias: jnp.ndarray,
+                        relu: bool = True,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused k3 submanifold pillar conv + folded-BN epilogue.
+
+    Computes ``mask(relu(conv3(feats) * scale + bias))`` — the
+    inference-mode conv->BN->ReLU sequence of every UNet stage — in one
+    kernel pass over HBM.
+
+    feats: (P, Z, C); nbr: (P, 9) int32 xy-neighbors in PILLAR_DIRS
+    order (miss -> P); weights: (9, 3, C, Cout); occ: (P, Z) bool;
+    scale/bias: (Cout,). Z must be a multiple of 8 (sublane tile), C
+    and Cout multiples of 128 (lane tile), P a multiple of P_TILE.
+    """
+    p, z, c = feats.shape
+    cout = weights.shape[-1]
+    assert z % 8 == 0, z
+    assert c % 128 == 0 and cout % 128 == 0, (c, cout)
+    assert p % P_TILE == 0, (p, P_TILE)
+    assert weights.shape[:3] == (9, 3, c), weights.shape
+    n_tiles = p // P_TILE
+    fz = jnp.concatenate([feats, jnp.zeros((1, z, c), feats.dtype)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # feats stay in HBM
+            pl.BlockSpec((9, 3, c, cout), lambda i, nbr: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, nbr: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, nbr: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_TILE * z, 1), lambda i, nbr: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P_TILE, z, cout), lambda i, nbr: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, P_TILE, 9, z, c), feats.dtype),
+            pltpu.SemaphoreType.DMA((2, P_TILE, 9)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_pillar_kernel, z=z, n_tiles=n_tiles, relu=relu),
+        out_shape=jax.ShapeDtypeStruct((p, z, cout), feats.dtype),
+        interpret=interpret,
+        grid_spec=grid_spec,
+    )(nbr, fz, weights.astype(feats.dtype),
+      scale.astype(jnp.float32).reshape(1, cout),
+      bias.astype(jnp.float32).reshape(1, cout),
+      occ.reshape(p * z, 1).astype(feats.dtype))
+    return out
+
+
+def pillar_conv3_xla(feats: jnp.ndarray, nbr: jnp.ndarray,
+                     weights: jnp.ndarray, occ: jnp.ndarray,
+                     scale: jnp.ndarray, bias: jnp.ndarray,
+                     relu: bool = True) -> jnp.ndarray:
+    """XLA reference for the pillar conv (same args/semantics) — the
+    gather -> 3 shifted einsums -> epilogue formulation. Used as the
+    parity oracle and as the XLA-side arm of the hardware A/B."""
+    p, z, c = feats.shape
+    fz = jnp.concatenate([feats, jnp.zeros((1, z, c), feats.dtype)], axis=0)
+    cols = fz[nbr]  # (P, 9, Z, C)
+    y = jnp.einsum("pjzc,jco->pzo",
+                   jnp.pad(cols[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0))),
+                   weights[:, 0], preferred_element_type=jnp.float32)
+    y = y + jnp.einsum("pjzc,jco->pzo", cols, weights[:, 1],
+                       preferred_element_type=jnp.float32)
+    y = y + jnp.einsum("pjzc,jco->pzo",
+                       jnp.pad(cols[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0))),
+                       weights[:, 2], preferred_element_type=jnp.float32)
+    y = y * scale + bias
+    if relu:
+        y = jax.nn.relu(y)
+    return (y * occ[..., None]).astype(feats.dtype)
+
+
+def dense_pillar_scene(rng, gx: int, gy: int, z: int, c: int,
+                       occupancy: float = 0.5):
+    """Build a dense-grid pillar scene for oracle testing: every (x, y)
+    site is a pillar; nbr follows grid adjacency with out-of-range -> P.
+    Returns (feats, nbr, occ) with features zeroed at unoccupied voxels
+    (submanifold input semantics)."""
+    p = gx * gy
+    occ = rng.rand(gx, gy, z) < occupancy
+    feats = rng.randn(gx, gy, z, c).astype(np.float32) * occ[..., None]
+    nbr = np.full((gx, gy, 9), p, np.int32)
+    for j, (dx, dy) in enumerate(PILLAR_DIRS):
+        xs = np.arange(gx) + dx
+        ys = np.arange(gy) + dy
+        valid = (xs[:, None] >= 0) & (xs[:, None] < gx) & \
+                (ys[None, :] >= 0) & (ys[None, :] < gy)
+        idx = np.clip(xs[:, None], 0, gx - 1) * gy + \
+            np.clip(ys[None, :], 0, gy - 1)
+        nbr[:, :, j] = np.where(valid, idx, p)
+    return (feats.reshape(p, z, c), nbr.reshape(p, 9),
+            occ.reshape(p, z))
