@@ -47,7 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 # pillar itself (matching nbr[:, 4] == row in a well-formed table).
 PILLAR_DIRS = tuple((dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
 
-P_TILE = 4  # output pillars per grid step
+
+def pillar_tile(z: int) -> int:
+    """Pillars per grid step: sized so every tap matmul has 128 rows
+    (p_tile * Z) — a full MXU pass — and the double-buffered column
+    scratch stays a constant 2 * 128 * 9 * C bytes regardless of Z."""
+    return max(1, 128 // z)
 
 
 def _z_shift(col: jnp.ndarray, dz: int) -> jnp.ndarray:
@@ -61,15 +66,14 @@ def _z_shift(col: jnp.ndarray, dz: int) -> jnp.ndarray:
 
 
 def _pillar_kernel(nbr_ref, feats_hbm, w_ref, scale_ref, bias_ref,
-                   occ_ref, out_ref, buf, sems, *, z, n_tiles, relu):
-    """Grid (n_tiles,): P_TILE output pillars per step.
+                   occ_ref, out_ref, buf, sems, *, z, pt, n_tiles, relu):
+    """Grid (n_tiles,): pt = pillar_tile(z) output pillars per step.
 
     nbr_ref: the FULL (P, 9) table as a scalar-prefetch SMEM operand —
     9 ints per pillar keeps it within the SMEM budget at production
     pillar counts (P=8192 -> 295 KB), and the double buffer can address
-    any tile's rows directly. buf: (2, P_TILE, 9, Z, C) VMEM — slot i%2
-    holds tile i's neighbor columns. sems: (2, P_TILE, 9) DMA
-    semaphores.
+    any tile's rows directly. buf: (2, pt, 9, Z, C) VMEM — slot i%2
+    holds tile i's neighbor columns. sems: (2, pt, 9) DMA semaphores.
     """
     c = w_ref.shape[2]
     cout = w_ref.shape[3]
@@ -78,7 +82,7 @@ def _pillar_kernel(nbr_ref, feats_hbm, w_ref, scale_ref, bias_ref,
     def copies(slot, base):
         return [pltpu.make_async_copy(feats_hbm.at[nbr_ref[base + t, j]],
                                       buf.at[slot, t, j], sems.at[slot, t, j])
-                for t in range(P_TILE) for j in range(9)]
+                for t in range(pt) for j in range(9)]
 
     slot = jax.lax.rem(i, 2)
 
@@ -90,17 +94,17 @@ def _pillar_kernel(nbr_ref, feats_hbm, w_ref, scale_ref, bias_ref,
     # prefetch tile i+1 into the other slot before blocking on this tile
     @pl.when(i + 1 < n_tiles)
     def _():
-        for cp in copies(1 - slot, (i + 1) * P_TILE):
+        for cp in copies(1 - slot, (i + 1) * pt):
             cp.start()
 
-    for cp in copies(slot, i * P_TILE):
+    for cp in copies(slot, i * pt):
         cp.wait()
 
-    acc = jnp.zeros((P_TILE * z, cout), jnp.float32)
+    acc = jnp.zeros((pt * z, cout), jnp.float32)
     for j in range(9):
-        col = buf[slot, :, j]  # (P_TILE, Z, C)
+        col = buf[slot, :, j]  # (pt, Z, C)
         for dzi, dz in enumerate((-1, 0, 1)):
-            rows = _z_shift(col, dz).reshape(P_TILE * z, c)
+            rows = _z_shift(col, dz).reshape(pt * z, c)
             acc = acc + jnp.dot(rows, w_ref[j, dzi],
                                 preferred_element_type=jnp.float32)
 
@@ -108,7 +112,7 @@ def _pillar_kernel(nbr_ref, feats_hbm, w_ref, scale_ref, bias_ref,
     if relu:
         y = jnp.maximum(y, 0.0)
     y = y * occ_ref[...].astype(jnp.float32)
-    out_ref[...] = y.astype(out_ref.dtype).reshape(P_TILE, z, cout)
+    out_ref[...] = y.astype(out_ref.dtype).reshape(pt, z, cout)
 
 
 @partial(jax.jit, static_argnames=("relu", "interpret"))
@@ -126,15 +130,17 @@ def pallas_pillar_conv3(feats: jnp.ndarray, nbr: jnp.ndarray,
     feats: (P, Z, C); nbr: (P, 9) int32 xy-neighbors in PILLAR_DIRS
     order (miss -> P); weights: (9, 3, C, Cout); occ: (P, Z) bool;
     scale/bias: (Cout,). Z must be a multiple of 8 (sublane tile), C
-    and Cout multiples of 128 (lane tile), P a multiple of P_TILE.
+    and Cout multiples of 128 (lane tile), P a multiple of
+    pillar_tile(Z).
     """
     p, z, c = feats.shape
     cout = weights.shape[-1]
+    pt = pillar_tile(z)
     assert z % 8 == 0, z
     assert c % 128 == 0 and cout % 128 == 0, (c, cout)
-    assert p % P_TILE == 0, (p, P_TILE)
+    assert p % pt == 0, (p, pt)
     assert weights.shape[:3] == (9, 3, c), weights.shape
-    n_tiles = p // P_TILE
+    n_tiles = p // pt
     fz = jnp.concatenate([feats, jnp.zeros((1, z, c), feats.dtype)], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -148,18 +154,18 @@ def pallas_pillar_conv3(feats: jnp.ndarray, nbr: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i, nbr: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_TILE * z, 1), lambda i, nbr: (i, 0),
+            pl.BlockSpec((pt * z, 1), lambda i, nbr: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((P_TILE, z, cout), lambda i, nbr: (i, 0, 0),
+        out_specs=pl.BlockSpec((pt, z, cout), lambda i, nbr: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, P_TILE, 9, z, c), feats.dtype),
-            pltpu.SemaphoreType.DMA((2, P_TILE, 9)),
+            pltpu.VMEM((2, pt, 9, z, c), feats.dtype),
+            pltpu.SemaphoreType.DMA((2, pt, 9)),
         ],
     )
     out = pl.pallas_call(
-        partial(_pillar_kernel, z=z, n_tiles=n_tiles, relu=relu),
+        partial(_pillar_kernel, z=z, pt=pt, n_tiles=n_tiles, relu=relu),
         out_shape=jax.ShapeDtypeStruct((p, z, cout), feats.dtype),
         interpret=interpret,
         grid_spec=grid_spec,

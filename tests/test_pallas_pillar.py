@@ -16,10 +16,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from dropclip_tpu.sparse.pallas_pillar import (PILLAR_DIRS, P_TILE,
+from dropclip_tpu.sparse.pallas_pillar import (PILLAR_DIRS,
                                                dense_pillar_scene,
                                                pallas_pillar_conv3,
-                                               pillar_conv3_xla)
+                                               pillar_conv3_xla,
+                                               pillar_tile)
 
 
 def _problem(rng, gx, gy, z, c, cout, occupancy=0.5):
@@ -81,7 +82,7 @@ def test_pillar_conv_empty_neighbors(rng):
     """A pillar whose neighbors are all misses reduces to a 1x1xz conv
     column — miss rows must read silence, not garbage."""
     z, c, cout = 8, 128, 128
-    p = P_TILE
+    p = pillar_tile(z)
     feats_np = rng.randn(p, z, c).astype(np.float32)
     occ_np = np.ones((p, z), bool)
     nbr_np = np.full((p, 9), p, np.int32)
