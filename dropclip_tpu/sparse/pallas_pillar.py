@@ -55,6 +55,15 @@ def pillar_tile(z: int) -> int:
     return max(1, 128 // z)
 
 
+# Max output pillars per pallas_call: the scalar-prefetch SMEM operand is
+# 9 ints/pillar, and Mosaic caps SMEM allocations at 1 MB — 8192 pillars
+# = 288 KB leaves headroom. Larger P is handled by slicing the OUTPUT
+# into chunks; feats stay whole in HBM so the (global) neighbor indices
+# in each chunk's table remain valid. Divisible by pillar_tile(z) for
+# every legal z (pt is a power of two <= 16).
+PILLAR_CHUNK = 8192
+
+
 def _z_shift(col: jnp.ndarray, dz: int) -> jnp.ndarray:
     """shifted[..., z, :] = col[..., z + dz, :], zero-padded at the ends
     (outside the scene is empty — exactly submanifold conv semantics)."""
@@ -69,18 +78,21 @@ def _pillar_kernel(nbr_ref, feats_hbm, w_ref, scale_ref, bias_ref,
                    occ_ref, out_ref, buf, sems, *, z, pt, n_tiles, relu):
     """Grid (n_tiles,): pt = pillar_tile(z) output pillars per step.
 
-    nbr_ref: the FULL (P, 9) table as a scalar-prefetch SMEM operand —
-    9 ints per pillar keeps it within the SMEM budget at production
-    pillar counts (P=8192 -> 295 KB), and the double buffer can address
-    any tile's rows directly. buf: (2, pt, 9, Z, C) VMEM — slot i%2
-    holds tile i's neighbor columns. sems: (2, pt, 9) DMA semaphores.
+    nbr_ref: this chunk's neighbor table FLATTENED to (<= PILLAR_CHUNK*9,)
+    as a scalar-prefetch SMEM operand — 1-D so Mosaic allocates it
+    exactly (a (P, 9) operand gets its minor dim lane-padded 9 -> 128,
+    measured: 4 MB for P=8192 vs the 1 MB SMEM ceiling; flat it is
+    288 KB at the chunk cap, and larger scenes are split at the call
+    site). The double buffer can address any tile's rows directly.
+    buf: (2, pt, 9, Z, C) VMEM — slot i%2 holds tile i's neighbor
+    columns. sems: (2, pt, 9) DMA semaphores.
     """
     c = w_ref.shape[2]
     cout = w_ref.shape[3]
     i = pl.program_id(0)
 
     def copies(slot, base):
-        return [pltpu.make_async_copy(feats_hbm.at[nbr_ref[base + t, j]],
+        return [pltpu.make_async_copy(feats_hbm.at[nbr_ref[(base + t) * 9 + j]],
                                       buf.at[slot, t, j], sems.at[slot, t, j])
                 for t in range(pt) for j in range(9)]
 
@@ -140,40 +152,52 @@ def pallas_pillar_conv3(feats: jnp.ndarray, nbr: jnp.ndarray,
     assert c % 128 == 0 and cout % 128 == 0, (c, cout)
     assert p % pt == 0, (p, pt)
     assert weights.shape[:3] == (9, 3, c), weights.shape
-    n_tiles = p // pt
     fz = jnp.concatenate([feats, jnp.zeros((1, z, c), feats.dtype)], axis=0)
+    w = weights.astype(feats.dtype)
+    sc = scale.astype(jnp.float32).reshape(1, cout)
+    bi = bias.astype(jnp.float32).reshape(1, cout)
+    occ_f = occ.astype(feats.dtype)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # feats stay in HBM
-            pl.BlockSpec((9, 3, c, cout), lambda i, nbr: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, nbr: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, nbr: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt * z, 1), lambda i, nbr: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((pt, z, cout), lambda i, nbr: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, pt, 9, z, c), feats.dtype),
-            pltpu.SemaphoreType.DMA((2, pt, 9)),
-        ],
-    )
-    out = pl.pallas_call(
-        partial(_pillar_kernel, z=z, pt=pt, n_tiles=n_tiles, relu=relu),
-        out_shape=jax.ShapeDtypeStruct((p, z, cout), feats.dtype),
-        interpret=interpret,
-        grid_spec=grid_spec,
-    )(nbr, fz, weights.astype(feats.dtype),
-      scale.astype(jnp.float32).reshape(1, cout),
-      bias.astype(jnp.float32).reshape(1, cout),
-      occ.reshape(p * z, 1).astype(feats.dtype))
-    return out
+    def chunk_call(nbr_c, occ_c):
+        pc = nbr_c.shape[0]
+        n_tiles = pc // pt
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),      # feats stay in HBM
+                pl.BlockSpec((9, 3, c, cout), lambda i, nbr: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), lambda i, nbr: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), lambda i, nbr: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pt * z, 1), lambda i, nbr: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((pt, z, cout), lambda i, nbr: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, pt, 9, z, c), feats.dtype),
+                pltpu.SemaphoreType.DMA((2, pt, 9)),
+            ],
+        )
+        return pl.pallas_call(
+            partial(_pillar_kernel, z=z, pt=pt, n_tiles=n_tiles, relu=relu),
+            out_shape=jax.ShapeDtypeStruct((pc, z, cout), feats.dtype),
+            interpret=interpret,
+            grid_spec=grid_spec,
+        )(nbr_c.reshape(pc * 9), fz, w, sc, bi, occ_c.reshape(pc * z, 1))
+
+    if p <= PILLAR_CHUNK:
+        return chunk_call(nbr, occ_f)
+    # Chunk the OUTPUT so each call's scalar-prefetch table fits SMEM;
+    # neighbor indices are global (into the shared HBM fz), so slicing
+    # nbr/occ/out is the only change. One pipeline drain per chunk
+    # (~64+ tiles) is noise.
+    outs = [chunk_call(nbr[s:s + PILLAR_CHUNK], occ_f[s:s + PILLAR_CHUNK])
+            for s in range(0, p, PILLAR_CHUNK)]
+    return jnp.concatenate(outs, axis=0)
 
 
 def pillar_conv3_xla(feats: jnp.ndarray, nbr: jnp.ndarray,

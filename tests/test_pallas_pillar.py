@@ -107,3 +107,32 @@ def test_pillar_conv_empty_neighbors(rng):
         relu=True, interpret=interpret), np.float32)
     den = max(np.abs(ref).max(), 1.0)
     assert np.abs(got - ref).max() / den < 5e-3
+
+
+def test_pillar_conv_chunked_matches_single(rng, monkeypatch):
+    """P > PILLAR_CHUNK splits the output into per-chunk pallas_calls
+    (the scalar-prefetch table must fit Mosaic's 1 MB SMEM). Shrink the
+    chunk so a small scene exercises the split, and check bit-equality
+    with the unchunked path (same kernel, same inputs)."""
+    import dropclip_tpu.sparse.pallas_pillar as pp
+
+    z, c, cout = 8, 128, 128
+    gx, gy = 6, 8  # P = 48 pillars
+    feats_np, nbr_np, occ_np = dense_pillar_scene(rng, gx, gy, z, c, 0.5)
+    w9 = rng.randn(9, 3, c, cout).astype(np.float32) * 0.05
+    scale = jnp.ones(cout, jnp.float32)
+    bias = jnp.zeros(cout, jnp.float32)
+    f = jnp.asarray(feats_np).astype(jnp.bfloat16)
+    nbr, occ = jnp.asarray(nbr_np), jnp.asarray(occ_np)
+    w = jnp.asarray(w9).astype(jnp.bfloat16)
+    interpret = jax.default_backend() != "tpu"
+
+    whole = np.asarray(pp.pallas_pillar_conv3(
+        f, nbr, w, occ, scale, bias, relu=True, interpret=interpret),
+        np.float32)
+    monkeypatch.setattr(pp, "PILLAR_CHUNK", 16)  # 3 chunks of 16 pillars
+    # fresh jit cache entry: the chunk split happens at trace time
+    chunked = np.asarray(pp.pallas_pillar_conv3.__wrapped__(
+        f, nbr, w, occ, scale, bias, relu=True, interpret=interpret),
+        np.float32)
+    assert np.array_equal(whole, chunked)
