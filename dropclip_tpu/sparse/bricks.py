@@ -270,6 +270,60 @@ def build_brick_topology(coords: jnp.ndarray, mask: jnp.ndarray,
     return fn(coords, mask)
 
 
+def fold_topology(topo: BrickTopology) -> BrickTopology:
+    """Fold the batch axis into the brick axis: (B, Bm, ...) levels ->
+    (B*Bm, ...) with every index map globalized (row + b*cap, miss ->
+    B*cap — the single shared zero/guard row).
+
+    Why: the UNet's vmap-over-scenes keeps (B, Bm) 2-D leading dims
+    through the halo gathers, and XLA re-lays those batched halo buffers
+    around each conv's internal (B*Bm) fold — measured ~22% of the infer
+    step in layout copies/reshapes (PERF.md r4 re-audit). Folding ONCE
+    at the topology level gives XLA a single brick axis end to end.
+
+    Numerically identical to the batched forward: BN stats are global
+    (SyncBN semantics) either way, and cross-scene contamination is
+    impossible — a scene's globalized indices stay inside its own row
+    block, and misses hit the shared zero row.
+
+    SINGLE-DEVICE use only: under a sharded data axis the folded gather
+    indices defeat SPMD locality (XLA must all-gather the operand where
+    the vmapped form partitions cleanly). Callers gate on device count
+    (MinkUNetBricks.fold_batch).
+    """
+    b = topo.point_row.shape[0]
+
+    def fold(a):
+        return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+    def gidx(idx, cap):
+        """Globalize per-scene rows valued in [0, cap] (cap = miss)."""
+        off = (jnp.arange(b, dtype=idx.dtype) * cap).reshape(
+            (b,) + (1,) * (idx.ndim - 1))
+        return jnp.where(idx >= cap, b * cap, idx + off).reshape(
+            (b * idx.shape[1],) + idx.shape[2:])
+
+    caps = [lvl.occ.shape[1] for lvl in topo.levels]
+    levels = tuple(
+        BrickLevel(coords=fold(lvl.coords), keys=fold(lvl.keys),
+                   mask=fold(lvl.mask), occ=fold(lvl.occ),
+                   nbr=gidx(lvl.nbr, caps[l]))
+        for l, lvl in enumerate(topo.levels))
+    return BrickTopology(
+        levels=levels,
+        point_row=gidx(topo.point_row, caps[0]),
+        point_within=fold(topo.point_within),
+        # group_maps[l] maps level l+1 bricks -> level l rows (value
+        # space caps[l]); parent_maps[l] maps level l bricks -> level
+        # l+1 rows (value space caps[l+1])
+        group_maps=tuple(gidx(g, caps[l])
+                         for l, g in enumerate(topo.group_maps)),
+        parent_maps=tuple(gidx(p, caps[l + 1])
+                          for l, p in enumerate(topo.parent_maps)),
+        octants=tuple(fold(o) for o in topo.octants),
+        dropped=topo.dropped)
+
+
 def autotune_brick_capacities(coords, mask, num_levels: int = 5,
                               slack: float = 1.2, multiple: int = 64,
                               floor: int = 32,

@@ -10,19 +10,25 @@ minkunet.py:30-263 + resnet_base.py:82-118.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from .bricks import (BrickTopology, brick_conv, brick_down_conv,
-                     brick_up_conv, gather_points, scatter_points)
+                     brick_up_conv, fold_topology, gather_points,
+                     scatter_points)
 from .unet import UNET_ARCHS, MaskedBatchNorm, _kaiming_fan_out
 
 
 def _bn_view(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, Bm, bx,by,bz, C) -> (B, Bm*bv, C) for batch-norm over voxels."""
+    """(B, Bm, bx,by,bz, C) -> (B, Bm*bv, C) for batch-norm over voxels.
+    Folded tensors ((Bm', bx,by,bz, C), ndim 5) view as (Bm'*bv, C) —
+    MaskedBatchNorm reduces every non-channel axis, so stats (and
+    therefore results) are identical either way."""
+    if x.ndim == 5:
+        return x.reshape(-1, x.shape[-1])
     b = x.shape[0]
     return x.reshape(b, -1, x.shape[-1])
 
@@ -32,8 +38,8 @@ def _bn(name: str, x, occ, train):
     param path matches the gather backend exactly (norm1/scale, not
     norm1/bn/scale). Global batch stats == SyncBN (reference
     tools/train_distil.py:124-126)."""
-    y = MaskedBatchNorm(name=name)(_bn_view(x), occ.reshape(x.shape[0], -1),
-                                   train)
+    occ_view = occ.reshape(-1) if x.ndim == 5 else occ.reshape(x.shape[0], -1)
+    y = MaskedBatchNorm(name=name)(_bn_view(x), occ_view, train)
     return y.reshape(x.shape)
 
 
@@ -46,6 +52,8 @@ class BConv(nn.Module):
         k = self.ksize ** 3
         w = self.param("kernel", _kaiming_fan_out,
                        (k, x.shape[-1], self.features))
+        if x.ndim == 5:  # folded: one brick axis (see bricks.fold_topology)
+            return brick_conv(x, level, w.astype(x.dtype), ksize=self.ksize)
         return jax.vmap(lambda f, lv: brick_conv(f, lv, w.astype(f.dtype),
                                                  ksize=self.ksize))(x, level)
 
@@ -57,6 +65,9 @@ class BConvDown(nn.Module):
     def __call__(self, x, group_map, coarse_level):
         w = self.param("kernel", _kaiming_fan_out,
                        (8, x.shape[-1], self.features))
+        if x.ndim == 5:
+            return brick_down_conv(x, group_map, coarse_level,
+                                   w.astype(x.dtype))
         return jax.vmap(lambda f, g, lv: brick_down_conv(
             f, g, lv, w.astype(f.dtype)))(x, group_map, coarse_level)
 
@@ -68,6 +79,9 @@ class BConvUp(nn.Module):
     def __call__(self, x, parent_map, octant, fine_level):
         w = self.param("kernel", _kaiming_fan_out,
                        (8, x.shape[-1], self.features))
+        if x.ndim == 5:
+            return brick_up_conv(x, parent_map, octant, fine_level,
+                                 w.astype(x.dtype))
         return jax.vmap(lambda f, p, o, lv: brick_up_conv(
             f, p, o, lv, w.astype(f.dtype)))(x, parent_map, octant, fine_level)
 
@@ -142,6 +156,12 @@ class MinkUNetBricks(nn.Module):
     # extra forward FLOPs for not holding halo/conv activations: the full
     # MinkUNet14D train step at batch 8 x 8192 voxels exceeds 16 GB HBM
     # without it). No effect on inference.
+    fold_batch: Optional[bool] = None  # fold scenes into ONE brick axis
+    # (bricks.fold_topology) so XLA never sees (B, Bm) 2-D leading dims —
+    # removes the batched halo buffers' layout copies (~22% of the infer
+    # step, PERF.md r4 re-audit). None = auto: fold iff the process sees
+    # a single device. MUST be False under a sharded data axis (folded
+    # gathers defeat SPMD locality — XLA all-gathers the operand).
 
     def _dropout(self, x, train):
         if self.dropout_rate > 0:
@@ -160,16 +180,25 @@ class MinkUNetBricks(nn.Module):
     def __call__(self, topo: BrickTopology, x: jnp.ndarray,
                  train: bool = False):
         P, L = self.planes, self.layers
-        lvls = topo.levels
-        cap0 = lvls[0].occ.shape[1]
-        bshape0 = tuple(lvls[0].occ.shape[2:5])  # batched occ: (B, Bm, ...)
+        cap0 = topo.levels[0].occ.shape[1]
+        bshape0 = tuple(topo.levels[0].occ.shape[2:5])  # occ: (B, Bm, ...)
         conv_c = nn.remat(BConv) if self.remat else BConv
         down_c = nn.remat(BConvDown) if self.remat else BConvDown
         up_c = nn.remat(BConvUp) if self.remat else BConvUp
 
-        dense = jax.vmap(
-            lambda f, r, w: scatter_points(f, r, w, cap0, bshape0))(
-            x, topo.point_row, topo.point_within)
+        fold = self.fold_batch
+        if fold is None:
+            fold = jax.device_count() == 1
+        if fold:
+            bsz, m = x.shape[0], x.shape[1]
+            topo = fold_topology(topo)
+            dense = scatter_points(x.reshape(bsz * m, -1), topo.point_row,
+                                   topo.point_within, bsz * cap0, bshape0)
+        else:
+            dense = jax.vmap(
+                lambda f, r, w: scatter_points(f, r, w, cap0, bshape0))(
+                x, topo.point_row, topo.point_within)
+        lvls = topo.levels
 
         out = conv_c(self.init_dim, ksize=5, name="conv0p1s1")(dense, lvls[0])
         out_p1 = jax.nn.relu(_bn("bn0", out, lvls[0].occ, train))
@@ -197,7 +226,11 @@ class MinkUNetBricks(nn.Module):
                             train), train)
 
         feats = BConv1x1(self.out_channels, name="final")(out, lvls[0].occ)
-        to_points = jax.vmap(gather_points)
+        if fold:
+            def to_points(f, r, w):
+                return gather_points(f, r, w).reshape(bsz, m, -1)
+        else:
+            to_points = jax.vmap(gather_points)
         if self.use_cls_head:
             logits = BConv1x1(self.n_classes, name="cls_head")(out,
                                                                lvls[0].occ)
@@ -224,4 +257,6 @@ def build_student_bricks(cfg: Any) -> MinkUNetBricks:
         dropout_rate=float(cfg.dropout_rate or 0.0),
         use_cls_head=bool(cfg.use_cls_head),
         n_classes=int(cfg.n_classes or 0),
-        remat=bool(cfg.remat) if cfg.remat is not None else True)
+        remat=bool(cfg.remat) if cfg.remat is not None else True,
+        fold_batch=(bool(cfg.fold_batch)
+                    if cfg.fold_batch is not None else None))

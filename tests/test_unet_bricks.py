@@ -101,3 +101,34 @@ def test_brick_unet_padding_invariant(rng):
     # must be identical
     assert np.allclose(np.asarray(out1[0])[m], np.asarray(out2[0])[m],
                        atol=1e-5)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_fold_batch_parity(batch, train):
+    """bricks.fold_topology: the folded (one brick axis) forward must
+    match the vmapped-over-scenes forward — eval bit-identical, train
+    within reduction-order float noise (BN stats are global either way).
+    The folded path is the single-device production fast path; the
+    vmapped path stays for sharded data meshes."""
+    coords, mask, feats = batch
+    _, bt = topos(coords, mask, (4, 4, 2))
+    net_v = MinkUNetBricks(fold_batch=False, **ARCH)
+    net_f = MinkUNetBricks(fold_batch=True, **ARCH)
+    variables = jax.jit(
+        lambda t, f: net_v.init(jax.random.PRNGKey(0), t, f,
+                                train=False))(bt, feats)
+    if train:
+        out_v, mut_v = net_v.apply(variables, bt, feats, train=True,
+                                   mutable=["batch_stats"])
+        out_f, mut_f = net_f.apply(variables, bt, feats, train=True,
+                                   mutable=["batch_stats"])
+        for a, b in zip(jax.tree.leaves(mut_v), jax.tree.leaves(mut_f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_v),
+                                   atol=5e-4, rtol=1e-3)
+    else:
+        out_v = net_v.apply(variables, bt, feats, train=False)
+        out_f = net_f.apply(variables, bt, feats, train=False)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_v),
+                                   atol=1e-5, rtol=1e-5)
