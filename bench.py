@@ -3,7 +3,12 @@
 With BENCH_METRIC unset, ALL modes below run and one combined JSON line
 is emitted (lead metric = fused scenes/sec, plus infer p50, train
 throughput, and the synthetic e2e val mIoU/Pr@k — the three BASELINE.md
-headline metrics from one invocation). BENCH_METRIC selects a single
+headline metrics from one invocation). The combined run executes
+``metrics, infer, train, ingest_scaling, fusion`` IN THAT ORDER under a
+global deadline (``BENCH_TOTAL_BUDGET``, default 1650 s — sized to the
+driver's observed ~1800 s window): cheap headline modes first, fusion
+(whose cold-compile worst case is ~1400 s) last, each mode's watchdog
+derived from the remaining deadline. BENCH_METRIC selects a single
 mode: ``fusion`` | ``infer`` | ``train`` | ``metrics`` |
 ``ingest_scaling`` (the last also runs in the combined default, on
 virtual CPU devices, under its own BENCH_SCALING_TIMEOUT budget).
@@ -188,8 +193,10 @@ def main_fusion():
     # scene 0: compile warmup. scene 1: sync_timings phase capture (the
     # per-round phase audit). scenes 2..: production async-tail pipeline
     # (fetch+compaction+write overlap the next scene's compute) — the
-    # THROUGHPUT scenes.
-    n_scenes = 3 if smoke else 6
+    # THROUGHPUT scenes. BENCH_FUSION_SCENES: the orchestrator trims the
+    # steady tail when the global deadline is thin.
+    n_scenes = 3 if smoke else max(
+        3, int(os.environ.get("BENCH_FUSION_SCENES", 6)))
     n_phase = 2
 
     args = CfgNode(dict(
@@ -400,11 +407,25 @@ def main_metrics():
     base_sim = ClipSimilarity(model_clip, variables, method="paired",
                               threshold=0.6)
 
-    names = ["mug", "bowl", "can", "box", "bottle", "plate"]
-    _CLASS_COLORS = {  # distinct, far apart in RGB
-        "mug": (0.9, 0.15, 0.15), "bowl": (0.15, 0.8, 0.15),
-        "can": (0.15, 0.25, 0.9), "box": (0.9, 0.85, 0.15),
-        "bottle": (0.85, 0.2, 0.85), "plate": (0.15, 0.85, 0.85)}
+    # Re-armed gate (VERDICT r4 #2): the r4 6-class/4-object recipe
+    # saturated — Pr@25=Pr@50=Pr@75=100.0 on all 64 queries, so the gate
+    # could no longer see regressions. Difficulty now comes from class
+    # CONFUSABILITY, which is learnable headroom (a better recipe can
+    # close it), not from unlearnable held-out classes: 12 classes whose
+    # colors sit 30 deg apart on a hue wheel (alternating sat/value so
+    # neighbors differ, but far less than r4's 6 maximally-spread RGB
+    # anchors), 6 objects per scene (smaller masks -> boundary voxels
+    # cost more IoU; 96 val queries at 16 scenes), and per-point color
+    # noise (sigma 0.08) so thresholding a clean color can't solve it.
+    import colorsys
+    names = ["mug", "bowl", "can", "box", "bottle", "plate",
+             "cup", "jar", "tray", "pot", "lid", "bin"]
+    _CLASS_COLORS = {
+        n: colorsys.hsv_to_rgb(i / len(names),
+                               0.55 if i % 2 else 0.85,
+                               0.85 if i % 3 else 0.6)
+        for i, n in enumerate(names)}
+    _COLOR_NOISE = 0.08
 
     class _WhitenedSim:
         """Text encoder whitened on the class anchors. A RANDOM-weight
@@ -439,24 +460,26 @@ def main_metrics():
     # sharing one path would rmtree each other's scenes mid-train
     root = f"/tmp/bench_metrics_ds_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
-    n_objects = 4
+    n_objects = 6
     # BENCH_METRICS_TRAIN_SCENES: recipe knob (val/train loss gap says
     # generalization — scene count is the lever). Each split draws from
     # its OWN fixed-seed rng so sweeping the train-scene count leaves
     # the val set bit-identical (a shared rng made the 8-vs-16 sweep
     # incomparable: the extra train draws shifted the test scenes, and
-    # the fusion upper bound moved 97.2 -> 94.3). Default 32 is the
-    # r4 sweep winner on the fixed 64-query val draw (VERDICT r3 #1;
-    # full table in PERF.md): 8 -> 0.758x ub / Pr@75 50.0,
-    # 16 -> 0.912x / 89.1, 32 -> 0.993x / 100.0, 64 -> 0.993x / 100.0
-    # — 32 saturates the gate at half the wall of 64.
-    # 16 test scenes x 4 objects = 64 grounding queries: Pr@k resolves in
-    # ~1.6% steps instead of r2's 6.25% (VERDICT r2 #3 — the 16-query gate
-    # couldn't see a multi-point regression). Train size unchanged, so the
-    # student and its wall-clock match earlier rounds; only the val draw
-    # is finer.
+    # the fusion upper bound moved 97.2 -> 94.3). Default 64 is the r5
+    # sweep winner ON THE RE-ARMED GATE (12 confusable classes, 6
+    # objects/scene, color noise — see _CLASS_COLORS above; r4's gate
+    # had saturated at Pr@k=100 on every tail metric and could no longer
+    # detect regressions). r5 sweep, fixed 96-query val draw (table in
+    # PERF.md): 32 -> 0.627x ub / Pr@75 34.4, 64 -> 0.889x / 76.0,
+    # 128 -> saturation check. 64 keeps >= 10 points of headroom on
+    # mIoU (82.5 vs ub 92.8) and Pr@75 (76.0 vs 94.8) so the gate can
+    # move in BOTH directions.
+    # 16 test scenes x 6 objects = 96 grounding queries: Pr@k resolves
+    # in ~1% steps (VERDICT r2 #3 — a 16-query gate couldn't even see a
+    # multi-point regression).
     n_train, n_test = (2, 1) if smoke else (
-        int(os.environ.get("BENCH_METRICS_TRAIN_SCENES", 32)),
+        int(os.environ.get("BENCH_METRICS_TRAIN_SCENES", 64)),
         int(os.environ.get("BENCH_METRICS_TEST_SCENES", 16)))
     for split, ns, rng in (("train", n_train, np.random.default_rng(0)),
                            ("test", n_test, np.random.default_rng(1))):
@@ -476,7 +499,13 @@ def main_metrics():
                 # of the train scenes). A fixed class->color map makes
                 # the distillation task learnable, so the student score
                 # measures the train->eval loop, not an impossible task.
-                raw["colors"][raw["labels"] == k] = _CLASS_COLORS[cls]
+                # Per-point noise on top of the class color: the 30-deg
+                # hue spacing plus noise is what re-arms the gate.
+                sel = raw["labels"] == k
+                raw["colors"][sel] = np.clip(
+                    np.asarray(_CLASS_COLORS[cls])
+                    + rng.normal(0, _COLOR_NOISE, (int(sel.sum()), 3)),
+                    0.0, 1.0)
             texts = ["table"] + [info[k]["cls_name"]
                                  for k in range(1, n_objects + 1)]
             feats = np.asarray(clip_sim.encode_text(texts), np.float32)
@@ -500,11 +529,10 @@ def main_metrics():
         # negative on this tiny-synthetic loop: aug -13 pts, wd 1e-4 +0.3,
         # dropout 0.1 -0.2, 2x width +0.5 (and 2x width at 200 epochs
         # -1.6 mIoU / +12.5 Pr@75 — width trades the headline for tails).
-        # (Those sweeps used the old shared-rng splits; on the current
-        # per-split rngs the 8-scene recipe measures 73.2 mIoU / 0.758x
-        # the 96.6 upper bound — the val DRAW changed, not the model.
-        # The r4 train-scene sweep then closed that gap: the 32-scene
-        # default scores 95.9 mIoU / 0.993x, Pr@75 100.)
+        # (Those sweeps used the old shared-rng splits and r4's
+        # 6-far-color gate, which the 32-scene recipe saturated at
+        # 0.993x ub / Pr@k 100 on every tail metric — hence the r5
+        # re-arm above; current sweep table in PERF.md.)
         base_lr=1e-2, min_lr=1e-3,
         epochs=8 if smoke else int(os.environ.get("BENCH_METRICS_EPOCHS",
                                                   200)),
@@ -909,19 +937,37 @@ def main_combined():
     combined JSON line re-printed after each (fusion is the lead metric —
     BASELINE.json's ">10x fused scenes/sec").
 
-    Wedge policy (VERDICT r2 #1): probe with retries+backoff up front;
-    on failure (or a device-mode crash/timeout) RE-PROBE before each
+    Budget policy (VERDICT r4 #1 — the r4 driver run hit rc=124 with only
+    one mode recorded): a GLOBAL deadline (BENCH_TOTAL_BUDGET) sized to
+    the driver's observed window, from which each mode's subprocess
+    watchdog is derived as min(mode cap, remaining - reserve for the
+    later modes). Cheap round-headline modes (metrics/infer/train) run
+    FIRST; fusion runs LAST because its cold-compile worst case (~1400 s
+    of ViT-L crop-shape compiles on the tunnel; ~120 s warm via the
+    persistent .jax_cache) is the one cost that can eat everything.
+
+    Wedge policy (VERDICT r2 #1 + r4 #7 probe hygiene): START
+    OPTIMISTICALLY — no up-front probe (a healthy run pays 0 s of probe;
+    r4 paid 225 s before the first mode). Each child runs under its own
+    watchdog, so a wedged tunnel costs at most the first mode's budget;
+    after any device-mode failure, probe with retries+backoff before each
     remaining device mode — wedges have been observed to clear mid-run,
     and round 2 lost every device metric by latching one failed probe.
-    The metrics mode is quality-only and falls back to CPU."""
-    # ingest_scaling runs last and on VIRTUAL CPU devices (it can't wedge
-    # the chip); its subprocess budget is capped separately so the
-    # orchestration-efficiency datapoint can never eat the driver budget
-    # the headline modes need (VERDICT r3 #5)
-    modes = ["fusion", "infer", "train", "metrics", "ingest_scaling"]
+    The metrics mode is quality-only and falls back to CPU (including a
+    CPU re-run if its first, optimistic device attempt wedged)."""
+    modes = ["metrics", "infer", "train", "ingest_scaling", "fusion"]
+    # per-mode warm-path cost estimates (s) used to reserve deadline for
+    # later modes, and hard caps so one mode can't starve the rest even
+    # when the remaining budget is large
+    est = {"metrics": 420, "infer": 200, "train": 200,
+           "ingest_scaling": 380, "fusion": 450}
+    cap = {"metrics": 600, "infer": 300, "train": 300,
+           "ingest_scaling": 600, "fusion": 1800}
+    t_start = time.perf_counter()
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", 1650))
     results, errors = {}, {}
     on_cpu = _on_cpu()
-    healthy = True if on_cpu else _probe_device(*_probe_params())
+    healthy = True  # optimistic until a device mode fails
 
     extra_keys = {
         "fusion": {"fused_scenes_per_sec": "value",
@@ -966,15 +1012,37 @@ def main_combined():
         return json.dumps(out)
 
     retries, timeout_s, backoff_s = _probe_params()
-    for name in modes:
+
+    def remaining():
+        return total_budget - (time.perf_counter() - t_start)
+
+    queue = list(modes)
+    while queue:
+        name = queue.pop(0)
+        # reserve deadline for the modes still after this one (fusion,
+        # last, keeps everything left)
+        reserve = sum(est[m] for m in queue)
+        budget = min(cap[name], _mode_budget_s(), remaining() - reserve)
+        if name == "ingest_scaling":
+            budget = min(budget, float(
+                os.environ.get("BENCH_SCALING_TIMEOUT", 900)))
+        if remaining() < 90:
+            errors.setdefault(name, "global deadline exhausted")
+            print(f"# bench mode '{name}' SKIPPED: global deadline "
+                  f"({total_budget:.0f}s) exhausted", flush=True)
+            print(combined_line(), flush=True)
+            continue
+        budget = max(budget, 90.0)
         # metrics falls back to CPU; ingest_scaling ALWAYS runs on forced
         # virtual CPU devices (subprocesses set JAX_PLATFORMS=cpu) — a
         # wedged chip must not skip it
         needs_device = (name not in ("metrics", "ingest_scaling")) \
             and not on_cpu
         if needs_device and not healthy:
-            # cheaper re-probe: the long patience was spent up front
-            healthy = _probe_device(max(retries // 2, 1), timeout_s,
+            # bounded re-probe: never spend more than the spare budget
+            healthy = _probe_device(max(retries // 2, 1),
+                                    min(timeout_s, max(remaining()
+                                                       - reserve, 60)),
                                     backoff_s)
             if not healthy:
                 errors[name] = "device wedged (probe failed)"
@@ -987,10 +1055,10 @@ def main_combined():
             env["JAX_PLATFORMS"] = "cpu"
             print("# bench: running quality metrics on CPU (device wedged)",
                   flush=True)
-        budget = _mode_budget_s()
-        if name == "ingest_scaling":
-            budget = min(budget, float(
-                os.environ.get("BENCH_SCALING_TIMEOUT", 900)))
+        if name == "fusion" and remaining() < 300:
+            # thin-budget fusion: fewer async scenes (the warm-compile
+            # mode is ~120 s at 6 scenes; 4 shaves the steady tail)
+            env.setdefault("BENCH_FUSION_SCENES", "4")
         t0 = time.perf_counter()
         rc, parsed = _run_mode_subprocess(name, env, budget)
         dt = time.perf_counter() - t0
@@ -1005,9 +1073,16 @@ def main_combined():
                   f"{errors[name]}", flush=True)
             if needs_device:
                 healthy = False  # re-probe before the next device mode
+            if name == "metrics" and not on_cpu and "JAX_PLATFORMS" \
+                    not in env:
+                # the optimistic device attempt may have wedged; the
+                # quality gate is backend-agnostic — retry pinned to CPU
+                healthy = False
+                queue.append("metrics")
+                print("# bench: will retry metrics on CPU", flush=True)
         # re-print the combined line after EVERY mode: if the driver's
         # budget kills a later mode, the last printed JSON line still
-        # carries everything that completed (fusion runs first)
+        # carries everything that completed so far
         print(combined_line(), flush=True)
     if not results:
         print(json.dumps({"metric": "fused_scenes_per_sec", "value": 0.0,

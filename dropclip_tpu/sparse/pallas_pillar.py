@@ -59,8 +59,11 @@ def pillar_tile(z: int) -> int:
 # 9 ints/pillar, and Mosaic caps SMEM allocations at 1 MB — 8192 pillars
 # = 288 KB leaves headroom. Larger P is handled by slicing the OUTPUT
 # into chunks; feats stay whole in HBM so the (global) neighbor indices
-# in each chunk's table remain valid. Divisible by pillar_tile(z) for
-# every legal z (pt is a power of two <= 16).
+# in each chunk's table remain valid. NOT always divisible by
+# pillar_tile(z) — z=24 -> pt=5, z=40 -> pt=3 pass the z%8 gate — so the
+# chunk slicing below rounds the step DOWN to a pt multiple; slicing at
+# a raw PILLAR_CHUNK boundary would truncate n_tiles = pc // pt and
+# silently never write the last pc % pt pillars of each chunk.
 PILLAR_CHUNK = 8192
 
 
@@ -160,6 +163,9 @@ def pallas_pillar_conv3(feats: jnp.ndarray, nbr: jnp.ndarray,
 
     def chunk_call(nbr_c, occ_c):
         pc = nbr_c.shape[0]
+        # backstop: a misaligned chunk would truncate n_tiles and leave
+        # the tail pillars of this chunk unwritten
+        assert pc % pt == 0, (pc, pt)
         n_tiles = pc // pt
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -194,9 +200,12 @@ def pallas_pillar_conv3(feats: jnp.ndarray, nbr: jnp.ndarray,
     # Chunk the OUTPUT so each call's scalar-prefetch table fits SMEM;
     # neighbor indices are global (into the shared HBM fz), so slicing
     # nbr/occ/out is the only change. One pipeline drain per chunk
-    # (~64+ tiles) is noise.
-    outs = [chunk_call(nbr[s:s + PILLAR_CHUNK], occ_f[s:s + PILLAR_CHUNK])
-            for s in range(0, p, PILLAR_CHUNK)]
+    # (~64+ tiles) is noise. Chunk boundaries MUST land on pt multiples
+    # (pt=5/3 for z=24/40 do not divide 8192) — the final chunk is then
+    # aligned too because p % pt == 0 was asserted above.
+    step = (PILLAR_CHUNK // pt) * pt
+    outs = [chunk_call(nbr[s:s + step], occ_f[s:s + step])
+            for s in range(0, p, step)]
     return jnp.concatenate(outs, axis=0)
 
 

@@ -22,6 +22,35 @@ from .bricks import (BrickTopology, brick_conv, brick_down_conv,
 from .unet import UNET_ARCHS, MaskedBatchNorm, _kaiming_fan_out
 
 
+def _auto_fold() -> bool:
+    """Decide ``fold_batch`` when the model leaves it ``None``.
+
+    Folding is safe exactly when the computation is NOT sharded over a
+    data axis. The strongest trace-time signal is the active mesh (set
+    by ``shard_map`` / ``with mesh:`` pjit contexts): a multi-device
+    mesh means sharded, fold off. Without a mesh, fall back to the
+    default backend's device count — a plain jit on a single chip folds
+    even when other platforms (a CPU host next to the TPU) contribute
+    extra visible devices (ADVICE r4: ``jax.device_count()`` made the
+    program structure environment-dependent). When auto DISABLES the
+    fold, say so at trace time: the ~20% single-chip infer win must
+    never silently disappear."""
+    fold = None
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if m is not None and not getattr(m, "empty", True):
+            fold = int(m.size) == 1
+    except Exception:
+        pass
+    if fold is None:
+        fold = jax.local_device_count() == 1
+    if not fold:
+        print("[unet_bricks] auto fold_batch=False (sharded/multi-device "
+              "context); pass fold_batch=True for the folded single-device "
+              "graph", flush=True)
+    return fold
+
+
 def _bn_view(x: jnp.ndarray) -> jnp.ndarray:
     """(B, Bm, bx,by,bz, C) -> (B, Bm*bv, C) for batch-norm over voxels.
     Folded tensors ((Bm', bx,by,bz, C), ndim 5) view as (Bm'*bv, C) —
@@ -159,9 +188,9 @@ class MinkUNetBricks(nn.Module):
     fold_batch: Optional[bool] = None  # fold scenes into ONE brick axis
     # (bricks.fold_topology) so XLA never sees (B, Bm) 2-D leading dims —
     # removes the batched halo buffers' layout copies (~22% of the infer
-    # step, PERF.md r4 re-audit). None = auto: fold iff the process sees
-    # a single device. MUST be False under a sharded data axis (folded
-    # gathers defeat SPMD locality — XLA all-gathers the operand).
+    # step, PERF.md r4 re-audit). None = auto (see _auto_fold). MUST be
+    # False under a sharded data axis (folded gathers defeat SPMD
+    # locality — XLA all-gathers the operand).
 
     def _dropout(self, x, train):
         if self.dropout_rate > 0:
@@ -188,7 +217,7 @@ class MinkUNetBricks(nn.Module):
 
         fold = self.fold_batch
         if fold is None:
-            fold = jax.device_count() == 1
+            fold = _auto_fold()
         if fold:
             bsz, m = x.shape[0], x.shape[1]
             topo = fold_topology(topo)

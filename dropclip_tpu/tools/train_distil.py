@@ -32,7 +32,8 @@ from ..core.logging import setup_logger
 from ..core.mesh import DATA_AXIS, make_mesh
 from ..core.meters import AverageMeter, ProgressMeter
 from ..distill.engine import (DistilBatch, build_student_for, build_topology,
-                              make_eval_step, make_train_step)
+                              make_eval_step, make_scanned_train,
+                              make_train_step)
 from ..distill.evaluate import validate_grounding
 from ..distill.train_state import create_train_state, make_optimizer
 from ..data import build_dataset_for
@@ -148,6 +149,118 @@ def dump_visualization(val_ds, collate, eval_forward, epoch: int,
     return tgt_dir
 
 
+def _run_scanned(cfg, state, train_ds, val_loader, collate, mesh, logger,
+                 save_dir, dropout_key, start_epoch, eval_step, clip_sim,
+                 wandb_run, best_val) -> None:
+    """lax.scan training path (``--opts scan_epochs N``).
+
+    Pre-stages the whole padded dataset as ONE DistilBatch with a scene
+    axis and replays the per-step loop's exact semantics inside the scan
+    (same DataLoader shuffle fold per epoch, same dropout-key split
+    chain, same optimizer steps — parity vs the per-step loop over the
+    same staged data is tested in tests/test_train_cli.py). See
+    engine.make_scanned_train for the design; boundary notes at the call
+    site in main()."""
+    assert jax.process_count() == 1, \
+        "scan_epochs: single-process only (pre-staged global batch)"
+    assert mesh.devices.size == 1, \
+        "scan_epochs: single-device only (the scan gathers batches from " \
+        "the staged data without a data-axis sharding; use the per-step " \
+        "loop for multi-chip DP)"
+    if cfg.use_augmentation:
+        logger.warning("scan_epochs with use_augmentation: augmentation "
+                       "draws are FROZEN at epoch %d (pre-staged data); "
+                       "use the per-step loop for fresh per-epoch draws",
+                       start_epoch)
+    bsz = int(cfg.batch_size or 8)
+    n = len(train_ds)
+    assert n >= 1, "empty train dataset"
+    if hasattr(train_ds, "set_epoch"):
+        train_ds.set_epoch(start_epoch)
+    logger.info("scan_epochs=%s: pre-staging %d scenes", cfg.scan_epochs, n)
+    staged = collate([train_ds[i] for i in range(n)])
+    staged_bytes = 0
+    for v in staged.values():
+        try:
+            staged_bytes += np.asarray(v).nbytes
+        except (ValueError, TypeError):
+            pass  # ragged host-side fields (e.g. per-scene query dicts)
+    if staged_bytes > 4 << 30:
+        raise ValueError(
+            f"scan_epochs: staged dataset is {staged_bytes / 2**30:.1f} GiB "
+            "— too large to hold on device; use the per-step loader loop")
+    z = np.zeros_like(np.asarray(staged["labels"]), dtype=np.int32)
+    data_all = DistilBatch(
+        coords=jnp.asarray(staged["coords"]),
+        mask=jnp.asarray(staged["mask"]),
+        in_feats=jnp.asarray(staged["in_feats"]),
+        targets=jnp.asarray(staged["targets"]),
+        labels=jnp.asarray(np.asarray(staged["labels"], np.int32)),
+        labels_cls=jnp.asarray(np.asarray(staged.get("labels_cls", z),
+                                          np.int32)))
+
+    def epoch_rows(epoch: int) -> np.ndarray:
+        """Mirror DataLoader._order + drop_last batching exactly."""
+        idx = np.arange(n)
+        rng = np.random.default_rng((int(cfg.manual_seed or 42), epoch))
+        rng.shuffle(idx)
+        nb = n // bsz
+        return idx[: nb * bsz].reshape(nb, bsz).astype(np.int32)
+
+    chunk_fn = jax.jit(make_scanned_train(cfg), donate_argnums=0)
+    epochs = int(cfg.epochs or 200)
+    scan_n = int(cfg.scan_epochs)
+    key = dropout_key
+    for c0 in range(start_epoch, epochs, scan_n):
+        c1 = min(c0 + scan_n, epochs)
+        rows = np.concatenate([epoch_rows(e) for e in range(c0, c1)])
+        if not len(rows):
+            raise ValueError(f"scan_epochs: batch_size {bsz} > dataset {n}")
+        t0 = time.time()
+        state, key, mstack = chunk_fn(state, data_all, jnp.asarray(rows), key)
+        loss_tail = float(np.asarray(mstack["distil_loss"])[-1])
+        dropped = int(np.sum(np.asarray(mstack.get("dropped_voxels", 0))))
+        logger.info("scan epochs [%d..%d): distil_loss %.4f (%.1fs)",
+                    c0, c1, loss_tail, time.time() - t0)
+        if dropped:
+            logger.warning("chunk [%d..%d): %d voxels/bricks dropped by "
+                           "capacity overflow — raise brick_capacities",
+                           c0, c1, dropped)
+        if wandb_run is not None:
+            wandb_run.log({"train/distil_loss": loss_tail,
+                           "train/step": int(state.step)})
+
+        val_loss = loss_tail
+        if val_loader is not None:
+            def eval_forward(b):
+                out, m = eval_step(state, to_batch(b, mesh))
+                return out, m["distil_loss"]
+
+            if clip_sim is not None and cfg.eval_task in ("all", "grounding"):
+                res = validate_grounding(val_loader, eval_forward, clip_sim,
+                                         cfg)
+                logger.info("Eval Grounding: Epoch=[%d/%s] %s", c1 - 1,
+                            epochs, res)
+                val_loss = res["DistilLoss"]
+                if wandb_run is not None:
+                    wandb_run.log({"val_steps": c1 - 1,
+                                   **{f"validation/{k}": v
+                                      for k, v in res.items()}})
+            else:
+                losses = [float(eval_forward(b)[1]) for b in val_loader]
+                val_loss = float(np.mean(losses)) if losses else loss_tail
+                logger.info("Eval: Epoch=[%d/%s] DistilLoss=%.4f", c1 - 1,
+                            epochs, val_loss)
+        is_best = val_loss < best_val
+        best_val = min(val_loss, best_val)
+        save_checkpoint(save_dir, {
+            "step": state.step, "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "epoch": c1 - 1,
+            "best_val": best_val}, best=is_best)
+        logger.info("saved checkpoint (epoch %d, best=%s)", c1 - 1, is_best)
+
+
 def main() -> None:
     from ..core.platform import honor_jax_platforms_env
 
@@ -177,7 +290,13 @@ def main() -> None:
             logger.warning("use_wandb=True but wandb is not installed")
 
     np.random.seed(int(cfg.manual_seed or 42))
-    mesh = make_mesh()
+    if int(cfg.scan_epochs or 0) > 0:
+        # scanned path is single-device by design (see _run_scanned);
+        # pin the mesh so extra visible devices (virtual CPU meshes)
+        # don't trip the DP sharding asserts below
+        mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    else:
+        mesh = make_mesh()
     n_dev = mesh.devices.size
     logger.info("mesh: %d devices on '%s' axis (%s)", n_dev, DATA_AXIS,
                 jax.devices()[0].platform)
@@ -312,6 +431,23 @@ def main() -> None:
             return out, m["distil_loss"]
 
     dropout_key = jax.random.PRNGKey(int(cfg.manual_seed or 42) + 1)
+
+    # Scanned trainer (VERDICT r4 #6): ``--opts scan_epochs N`` runs the
+    # whole loop as lax.scan chunks of N epochs — one device dispatch per
+    # chunk instead of one per optimizer step (through a tunneled device
+    # the per-step dispatch was ~6x the MXU time of the r3 bench's
+    # metrics loop). BOUNDARY: the dataset is pre-staged ONCE, so
+    # per-epoch host-side re-draws (augmentation, random view selection,
+    # MAX_POINTS resampling) are frozen at their start-epoch values —
+    # datasets that rely on them must use the default per-step loop.
+    # Eval + checkpointing happen at chunk boundaries (every N epochs).
+    if int(cfg.scan_epochs or 0) > 0:
+        _run_scanned(cfg, state, train_ds, val_loader, collate, mesh,
+                     logger, save_dir, dropout_key, start_epoch,
+                     eval_step=eval_step, clip_sim=clip_sim,
+                     wandb_run=wandb_run, best_val=best_val)
+        logger.info("done (scanned); checkpoints in %s", save_dir)
+        return
 
     for epoch in range(start_epoch, int(cfg.epochs or 200)):
         train_loader.set_epoch(epoch)

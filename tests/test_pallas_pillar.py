@@ -136,3 +136,35 @@ def test_pillar_conv_chunked_matches_single(rng, monkeypatch):
         f, nbr, w, occ, scale, bias, relu=True, interpret=interpret),
         np.float32)
     assert np.array_equal(whole, chunked)
+
+
+def test_pillar_conv_chunked_misaligned_tile(rng, monkeypatch):
+    """Regression: z=24 gives pillar_tile=5, which does NOT divide the
+    chunk cap — slicing at raw PILLAR_CHUNK boundaries truncated
+    n_tiles = pc // pt and silently dropped the tail pillars of every
+    chunk. The step must round down to a pt multiple instead."""
+    import dropclip_tpu.sparse.pallas_pillar as pp
+
+    z, c, cout = 24, 128, 128
+    assert pillar_tile(z) == 5  # the misaligned regime under test
+    gx, gy = 4, 5  # P = 20 pillars (a pt multiple, as the API requires)
+    feats_np, nbr_np, occ_np = dense_pillar_scene(rng, gx, gy, z, c, 0.5)
+    w9 = rng.randn(9, 3, c, cout).astype(np.float32) * 0.05
+    scale = jnp.ones(cout, jnp.float32)
+    bias = jnp.zeros(cout, jnp.float32)
+    f = jnp.asarray(feats_np).astype(jnp.bfloat16)
+    nbr, occ = jnp.asarray(nbr_np), jnp.asarray(occ_np)
+    w = jnp.asarray(w9).astype(jnp.bfloat16)
+    interpret = jax.default_backend() != "tpu"
+
+    whole = np.asarray(pp.pallas_pillar_conv3(
+        f, nbr, w, occ, scale, bias, relu=True, interpret=interpret),
+        np.float32)
+    # chunk cap 16 -> step rounds down to 15 (3 tiles of 5); the old
+    # slicing produced chunks of (16, 4) and never wrote pillars 15-19
+    monkeypatch.setattr(pp, "PILLAR_CHUNK", 16)
+    chunked = np.asarray(pp.pallas_pillar_conv3.__wrapped__(
+        f, nbr, w, occ, scale, bias, relu=True, interpret=interpret),
+        np.float32)
+    assert np.array_equal(whole, chunked)
+    assert np.isfinite(chunked).all()
