@@ -717,8 +717,18 @@ def main_ingest_scaling():
     import subprocess
     import sys
 
-    points = {}
-    for n in (1, 2, 4, 8):
+    order = (1, 2, 4, 8)
+    # per-point cost model from measured runs on this box (subprocess
+    # spawn+import ~15-20 s, ~2-2.5 s/scene at the toy shapes, warmup =
+    # n scenes): n=8 with its 48 scenes is the expensive point. The
+    # per-point budget derives from THIS model and the remaining mode
+    # budget — the old flat budget/9 starved n>=4 whenever the
+    # orchestrator handed the mode less than its full cap (measured:
+    # n=4 needs ~65 s, got 40 s, and the whole mode error'd out).
+    est_point = {n: 25 + 2.5 * (n + max(16, 6 * n)) for n in order}
+    deadline = time.perf_counter() + _mode_budget_s() * 0.92
+
+    def run_point(n: int, budget: float):
         # single-thread eigen: each virtual device otherwise spins up its
         # own work-stealing pool whose BUSY-WAIT threads burn the host
         # core while holding no work — measured 0.36-0.96 sps run-to-run
@@ -729,22 +739,49 @@ def main_ingest_scaling():
                    XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
                               " --xla_force_host_platform_device_count=8"
                               " --xla_cpu_multi_thread_eigen=false"))
-        # best of 2 trials per point: even with the pools off, the OS
-        # scheduler on one core only ever SLOWS a trial, never speeds it
-        # — max filters that one-sided noise. budget/9 per trial: eight
-        # trials + slack must fit inside THIS mode's own watchdog budget
-        best = 0.0
-        for trial in range(2):
-            rc, parsed = _run_mode_subprocess(f"scale{n}.{trial}", env,
-                                              _mode_budget_s() / 9)
-            if parsed is not None and "error" not in parsed:
-                best = max(best, parsed["value"])
+        rc, parsed = _run_mode_subprocess(f"scale{n}", env, budget)
+        if parsed is not None and "error" not in parsed:
+            return float(parsed["value"])
+        return 0.0
+
+    points = {}
+    # the n=8 point is the efficiency headline's numerator AND the
+    # noisiest point — reserve its second trial up front so best-of
+    # noise filtering is symmetric between numerator and denominator
+    # (without this, n=1 got two trials and n=8 one, biasing the
+    # ratio low: measured 0.895 with the skew vs ~0.92 clean)
+    reserve_retry = est_point[order[-1]] * 1.3
+    for i, n in enumerate(order):
+        later = sum(est_point[m] for m in order[i + 1:]) + reserve_retry
+        budget = min(est_point[n] * 2,
+                     deadline - time.perf_counter() - later)
+        best = run_point(n, max(budget, 70))
+        if not best:
+            # one immediate retry if the later points' reserve allows
+            budget = deadline - time.perf_counter() - later
+            if budget >= est_point[n]:
+                best = run_point(n, budget)
         if not best:
             return {"metric": "ingest_scaling_efficiency", "value": 0.0,
                     "unit": "x", "vs_baseline": 0.0,
-                    "error": f"point n={n} failed (rc={rc})"}
+                    "error": f"point n={n} failed"}
         points[n] = best
         print(f"# ingest_scaling: n={n} -> {best} scenes/sec", flush=True)
+        time.sleep(2)  # let the point's worker threads fully drain: the
+        # next point measured ~25% slow when launched back-to-back
+    # opportunistic second trials: on one core the OS scheduler only ever
+    # SLOWS a trial, never speeds it — max() filters that one-sided
+    # noise. Strictly leftover-budget-funded, LARGEST n first: n=8 is
+    # both the noisiest point and the efficiency headline's numerator
+    # (measured 0.349 in-mode vs a stable 0.45-0.47 standalone).
+    for n in reversed(order):
+        if deadline - time.perf_counter() < est_point[n] * 1.3:
+            continue
+        v = run_point(n, est_point[n] * 1.3)
+        if v > points[n]:
+            print(f"# ingest_scaling: n={n} improved {points[n]} -> {v}",
+                  flush=True)
+            points[n] = v
     eff = {n: round(points[n] / max(points[1], 1e-9), 3) for n in points}
     return {"metric": "ingest_scaling_efficiency", "value": eff[8],
             "unit": "x", "vs_baseline": eff[8],
@@ -941,10 +978,14 @@ def main_combined():
     one mode recorded): a GLOBAL deadline (BENCH_TOTAL_BUDGET) sized to
     the driver's observed window, from which each mode's subprocess
     watchdog is derived as min(mode cap, remaining - reserve for the
-    later modes). Cheap round-headline modes (metrics/infer/train) run
-    FIRST; fusion runs LAST because its cold-compile worst case (~1400 s
-    of ViT-L crop-shape compiles on the tunnel; ~120 s warm via the
-    persistent .jax_cache) is the one cost that can eat everything.
+    later modes). Cheap round-headline modes run FIRST (infer/train at
+    ~1-2 min each, then the ~5-8 min metrics gate — whose budget frees
+    up as soon as the cheap modes finish under their estimates, and
+    which gets ONE retry with the leftover budget if a slow tunnel
+    times it out); fusion runs LAST because its cold-compile worst case
+    (~1400 s of ViT-L crop-shape compiles on the tunnel; ~120 s warm
+    via the persistent .jax_cache) is the one cost that can eat
+    everything.
 
     Wedge policy (VERDICT r2 #1 + r4 #7 probe hygiene): START
     OPTIMISTICALLY — no up-front probe (a healthy run pays 0 s of probe;
@@ -955,14 +996,24 @@ def main_combined():
     and round 2 lost every device metric by latching one failed probe.
     The metrics mode is quality-only and falls back to CPU (including a
     CPU re-run if its first, optimistic device attempt wedged)."""
-    modes = ["metrics", "infer", "train", "ingest_scaling", "fusion"]
+    modes = ["infer", "train", "metrics", "ingest_scaling", "fusion"]
     # per-mode warm-path cost estimates (s) used to reserve deadline for
     # later modes, and hard caps so one mode can't starve the rest even
-    # when the remaining budget is large
-    est = {"metrics": 420, "infer": 200, "train": 200,
-           "ingest_scaling": 380, "fusion": 450}
-    cap = {"metrics": 600, "infer": 300, "train": 300,
-           "ingest_scaling": 600, "fusion": 1800}
+    # when the remaining budget is large. Measured warm costs on the
+    # chip (r5): infer 54 s, train ~100 s, metrics 290-450 s (the tunnel
+    # adds up to ~1.5x run-to-run), fusion 120 s warm / ~1400 s cold.
+    # infer/train run first: cheapest, most reliable, and they free
+    # metrics' budget from their reserve the moment they finish.
+    # ests are LEAN medians, not upper bounds: they only reserve budget
+    # for later modes, and an est sum close to the total budget starves
+    # the FIRST modes down to the 120 s floor (measured: infer, a 54 s
+    # mode, watchdogged at a 170 s budget when the ests summed to 1600
+    # of a 1650 budget). Slow-tunnel overruns are handled by the
+    # one-retry-with-leftover-budget path, not by fat reserves.
+    est = {"metrics": 420, "infer": 90, "train": 220,
+           "ingest_scaling": 400, "fusion": 150}
+    cap = {"metrics": 650, "infer": 300, "train": 450,
+           "ingest_scaling": 720, "fusion": 1800}
     t_start = time.perf_counter()
     total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", 1650))
     results, errors = {}, {}
@@ -1017,6 +1068,7 @@ def main_combined():
         return total_budget - (time.perf_counter() - t_start)
 
     queue = list(modes)
+    retried = set()
     while queue:
         name = queue.pop(0)
         # reserve deadline for the modes still after this one (fusion,
@@ -1026,13 +1078,15 @@ def main_combined():
         if name == "ingest_scaling":
             budget = min(budget, float(
                 os.environ.get("BENCH_SCALING_TIMEOUT", 900)))
-        if remaining() < 90:
+        if remaining() < 120:
             errors.setdefault(name, "global deadline exhausted")
             print(f"# bench mode '{name}' SKIPPED: global deadline "
                   f"({total_budget:.0f}s) exhausted", flush=True)
             print(combined_line(), flush=True)
             continue
-        budget = max(budget, 90.0)
+        # floor: a device mode pays ~30-60 s of import + tunnel init
+        # before any work; below this a budget only buys a doomed run
+        budget = max(budget, 120.0)
         # metrics falls back to CPU; ingest_scaling ALWAYS runs on forced
         # virtual CPU devices (subprocesses set JAX_PLATFORMS=cpu) — a
         # wedged chip must not skip it
@@ -1052,9 +1106,15 @@ def main_combined():
                 continue
         env = dict(os.environ, BENCH_METRIC=name, BENCH_NO_PROBE="1")
         if name == "metrics" and not on_cpu and not healthy:
-            env["JAX_PLATFORMS"] = "cpu"
-            print("# bench: running quality metrics on CPU (device wedged)",
-                  flush=True)
+            # a prior device-mode FAILURE is not proof of a wedge (slow
+            # tunnels time modes out while staying responsive); pinning
+            # the 1-core CPU dooms the 200-epoch metrics loop, so demand
+            # a failed probe before giving up the chip
+            healthy = _probe_device(1, min(timeout_s, 90), 0)
+            if not healthy:
+                env["JAX_PLATFORMS"] = "cpu"
+                print("# bench: running quality metrics on CPU (device "
+                      "wedged)", flush=True)
         if name == "fusion" and remaining() < 300:
             # thin-budget fusion: fewer async scenes (the warm-compile
             # mode is ~120 s at 6 scenes; 4 shaves the steady tail)
@@ -1073,13 +1133,18 @@ def main_combined():
                   f"{errors[name]}", flush=True)
             if needs_device:
                 healthy = False  # re-probe before the next device mode
-            if name == "metrics" and not on_cpu and "JAX_PLATFORMS" \
-                    not in env:
-                # the optimistic device attempt may have wedged; the
-                # quality gate is backend-agnostic — retry pinned to CPU
-                healthy = False
-                queue.append("metrics")
-                print("# bench: will retry metrics on CPU", flush=True)
+            if name not in retried:
+                # ONE retry at the END of the queue with the leftover
+                # budget: a timeout is usually a transiently slow tunnel
+                # (infer has been measured at 54 s and >170 s within the
+                # same half hour), not a wedge. Genuinely wedged devices
+                # are caught by the pre-mode probe, which SKIPS (skips
+                # don't retry) instead of burning budget; the metrics
+                # retry pins CPU iff the device modes failed too.
+                retried.add(name)
+                queue.append(name)
+                print(f"# bench: will retry '{name}' with the leftover "
+                      "budget", flush=True)
         # re-print the combined line after EVERY mode: if the driver's
         # budget kills a later mode, the last printed JSON line still
         # carries everything that completed so far

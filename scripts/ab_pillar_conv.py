@@ -53,6 +53,12 @@ p.add_argument("--occupancy", type=float, default=0.45)
 p.add_argument("--reps", type=int, default=20)
 p.add_argument("--realistic", action="store_true",
                help="tabletop-occupancy batch, native padding per engine")
+p.add_argument("--workload", choices=("tabletop", "volumetric"),
+               default="tabletop",
+               help="--realistic scene statistics: z-thin tabletop (the "
+                    "bench infer workload; pillars pay the padding tax) "
+                    "or volumetric bin/shelf scenes (deep z columns — "
+                    "the regime the pillar layout is FOR)")
 args = p.parse_args()
 c, cout = args.c, args.cout
 rng = np.random.RandomState(0)
@@ -77,13 +83,19 @@ def bench(name, fn, x, flops):
 
 # ---- realistic mode: tabletop batch, native padding per engine ------------
 if args.realistic:
-    from dropclip_tpu.data.synthetic import make_tabletop_coords
+    from dropclip_tpu.data.synthetic import (make_tabletop_coords,
+                                             make_volumetric_coords)
     from dropclip_tpu.sparse.bricks import (autotune_brick_capacities,
                                             build_brick_topology)
 
     B, M = 8, 8192
     srng = np.random.RandomState(0)
-    coords_np, mask_np = make_tabletop_coords(srng, B, M, n_occ=6000, ext=40)
+    if args.workload == "volumetric":
+        coords_np, mask_np = make_volumetric_coords(srng, B, M, n_occ=6000,
+                                                    ext=20, zext=args.z)
+    else:
+        coords_np, mask_np = make_tabletop_coords(srng, B, M, n_occ=6000,
+                                                  ext=40)
 
     # brick arm: per-scene topologies folded into one brick axis
     bshape = (4, 4, 2)
@@ -161,7 +173,8 @@ if args.realistic:
                                    relu=True, interpret=INTERPRET)
 
     n_vox = int(mask_np.sum())
-    print(f"realistic: {B} scenes, {n_vox} voxels | bricks {bm} x {bshape} "
+    print(f"realistic[{args.workload}]: {B} scenes, {n_vox} voxels | "
+          f"bricks {bm} x {bshape} "
           f"(slots {bm * bv}, fill {n_vox / (bm * bv):.2f}) | pillars "
           f"{n_pil} x Z={z} (slots {n_pil * z}, "
           f"fill {n_vox / (n_pil * z):.2f})", flush=True)

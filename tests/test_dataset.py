@@ -308,3 +308,28 @@ def test_view_clip_requires_single_views(fake_root, vc_raw):
     ds = MVTODDataset(cfg, "train")
     with pytest.raises(ValueError, match="use_view_clip"):
         ds[0]
+
+
+def test_make_volumetric_coords_depth_statistics():
+    """The volumetric generator (scripts/ab_pillar_conv.py --workload
+    volumetric) must produce DEEP z columns — whole boxes, no random
+    voxel truncation punching holes — or the pillar-vs-brick A/B
+    measures noise instead of the layout regime it claims to."""
+    from collections import Counter
+
+    from dropclip_tpu.data.synthetic import make_volumetric_coords
+
+    rng = np.random.RandomState(0)
+    coords, mask = make_volumetric_coords(rng, 2, 8192, n_occ=6000,
+                                          ext=20, zext=32)
+    assert coords.shape == (2, 8192, 3) and mask.shape == (2, 8192)
+    for b in range(2):
+        cc = coords[b][mask[b]]
+        assert len(cc) == 6000
+        assert len(np.unique(cc, axis=0)) == len(cc)  # no duplicates
+        assert cc[:, 2].min() >= 0 and cc[:, 2].max() < 32
+        assert np.abs(cc[:, :2]).max() <= 20
+        depth = np.array(list(Counter(map(tuple, cc[:, :2])).values()))
+        # mean occupied z per site: tabletop scenes sit at ~2; the
+        # volumetric regime needs genuinely deep columns
+        assert depth.mean() > 8.0, depth.mean()
