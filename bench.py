@@ -769,19 +769,22 @@ def main_ingest_scaling():
         print(f"# ingest_scaling: n={n} -> {best} scenes/sec", flush=True)
         time.sleep(2)  # let the point's worker threads fully drain: the
         # next point measured ~25% slow when launched back-to-back
-    # opportunistic second trials: on one core the OS scheduler only ever
+    # opportunistic extra trials: on one core the OS scheduler only ever
     # SLOWS a trial, never speeds it — max() filters that one-sided
-    # noise. Strictly leftover-budget-funded, LARGEST n first: n=8 is
-    # both the noisiest point and the efficiency headline's numerator
+    # noise, so every extra trial moves each point (and therefore the
+    # efficiency RATIO, from either side) monotonically toward truth.
+    # Strictly leftover-budget-funded, up to two passes, LARGEST n
+    # first: n=8 is both the noisiest point and the headline numerator
     # (measured 0.349 in-mode vs a stable 0.45-0.47 standalone).
-    for n in reversed(order):
-        if deadline - time.perf_counter() < est_point[n] * 1.3:
-            continue
-        v = run_point(n, est_point[n] * 1.3)
-        if v > points[n]:
-            print(f"# ingest_scaling: n={n} improved {points[n]} -> {v}",
-                  flush=True)
-            points[n] = v
+    for _pass in range(2):
+        for n in reversed(order):
+            if deadline - time.perf_counter() < est_point[n] * 1.3:
+                continue
+            v = run_point(n, est_point[n] * 1.3)
+            if v > points[n]:
+                print(f"# ingest_scaling: n={n} improved {points[n]} -> {v}",
+                      flush=True)
+                points[n] = v
     eff = {n: round(points[n] / max(points[1], 1e-9), 3) for n in points}
     return {"metric": "ingest_scaling_efficiency", "value": eff[8],
             "unit": "x", "vs_baseline": eff[8],
@@ -1011,7 +1014,7 @@ def main_combined():
     # of a 1650 budget). Slow-tunnel overruns are handled by the
     # one-retry-with-leftover-budget path, not by fat reserves.
     est = {"metrics": 420, "infer": 90, "train": 220,
-           "ingest_scaling": 400, "fusion": 150}
+           "ingest_scaling": 400, "fusion": 250}
     cap = {"metrics": 650, "infer": 300, "train": 450,
            "ingest_scaling": 720, "fusion": 1800}
     t_start = time.perf_counter()
