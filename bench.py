@@ -717,7 +717,6 @@ def main_ingest_scaling():
     import subprocess
     import sys
 
-    order = (1, 2, 4, 8)
     # per-point cost model from measured runs on this box (subprocess
     # spawn+import ~15-20 s, ~2-2.5 s/scene at the toy shapes, warmup =
     # n scenes): n=8 with its 48 scenes is the expensive point. The
@@ -725,8 +724,14 @@ def main_ingest_scaling():
     # budget — the old flat budget/9 starved n>=4 whenever the
     # orchestrator handed the mode less than its full cap (measured:
     # n=4 needs ~65 s, got 40 s, and the whole mode error'd out).
+    # A SQUEEZED mode budget (earlier modes burned their retries) drops
+    # the curve points: the efficiency headline needs exactly n=1 and
+    # n=8, and a 4-point pass that starves n=8 to the 70 s floor fails
+    # the whole mode (measured in the v6 validation run).
+    mode_total = _mode_budget_s()
+    order = (1, 2, 4, 8) if mode_total >= 500 else (1, 8)
     est_point = {n: 25 + 2.5 * (n + max(16, 6 * n)) for n in order}
-    deadline = time.perf_counter() + _mode_budget_s() * 0.92
+    deadline = time.perf_counter() + mode_total * 0.92
 
     def run_point(n: int, budget: float):
         # single-thread eigen: each virtual device otherwise spins up its
@@ -745,14 +750,12 @@ def main_ingest_scaling():
         return 0.0
 
     points = {}
-    # the n=8 point is the efficiency headline's numerator AND the
-    # noisiest point — reserve its second trial up front so best-of
-    # noise filtering is symmetric between numerator and denominator
-    # (without this, n=1 got two trials and n=8 one, biasing the
-    # ratio low: measured 0.895 with the skew vs ~0.92 clean)
-    reserve_retry = est_point[order[-1]] * 1.3
+    # Pass 1 completes ALL points before any noise-filtering extras: a
+    # second-trial reserve here starved mid-queue points whenever the
+    # orchestrator handed this mode a squeezed budget (v6 validation:
+    # n=4 at the 70 s floor needs ~76 s -> whole mode error'd).
     for i, n in enumerate(order):
-        later = sum(est_point[m] for m in order[i + 1:]) + reserve_retry
+        later = sum(est_point[m] for m in order[i + 1:])
         budget = min(est_point[n] * 2,
                      deadline - time.perf_counter() - later)
         best = run_point(n, max(budget, 70))
@@ -771,15 +774,18 @@ def main_ingest_scaling():
         # next point measured ~25% slow when launched back-to-back
     # opportunistic extra trials: on one core the OS scheduler only ever
     # SLOWS a trial, never speeds it — max() filters that one-sided
-    # noise, so every extra trial moves each point (and therefore the
-    # efficiency RATIO, from either side) monotonically toward truth.
-    # Strictly leftover-budget-funded, up to two passes, LARGEST n
-    # first: n=8 is both the noisiest point and the headline numerator
-    # (measured 0.349 in-mode vs a stable 0.45-0.47 standalone).
+    # noise, so extra trials move each point monotonically toward truth.
+    # The headline is the RATIO p8/p1, so extras run in SYMMETRIC PAIRS
+    # (n=8 then n=1) funded strictly by leftover budget: lifting only
+    # the cheap denominator biased the ratio down (measured 0.998 ->
+    # 0.929 when n=1 got two extras and n=8 none), lifting only the
+    # numerator would flatter it.
+    hi, lo = order[-1], order[0]
+    pair_cost = (est_point[hi] + est_point[lo]) * 1.3
     for _pass in range(2):
-        for n in reversed(order):
-            if deadline - time.perf_counter() < est_point[n] * 1.3:
-                continue
+        if deadline - time.perf_counter() < pair_cost:
+            break
+        for n in (hi, lo):
             v = run_point(n, est_point[n] * 1.3)
             if v > points[n]:
                 print(f"# ingest_scaling: n={n} improved {points[n]} -> {v}",
