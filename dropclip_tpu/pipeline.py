@@ -58,9 +58,19 @@ class GroundingPipeline:
     """xyz/rgb -> per-point features -> text-query 3D masks."""
 
     def __init__(self, cfg, params, batch_stats, clip_sim,
-                 brick_capacities: Optional[Sequence[int]] = None):
+                 brick_capacities: Optional[Sequence[int]] = None,
+                 engine: Optional[str] = None,
+                 pillar_site_capacities: Optional[Sequence[int]] = None,
+                 pillar_z0: Optional[int] = None):
+        """``engine``: "bricks"/"gather" (cfg.sparse_backend default) or
+        "pillars" — the volumetric inference engine (PERF.md "Pillar
+        ENGINE": 1.06x over bricks on bin/shelf data; all engines share
+        checkpoints). Pillar static shapes (``pillar_site_capacities``
+        per level + ``pillar_z0``) default to a slack-padded fit of the
+        FIRST scene, so later scenes reuse one compiled program; pass
+        them explicitly when the first scene is not representative."""
         self.cfg = cfg
-        self.model = build_student_for(cfg)
+        self.engine = engine or cfg.sparse_backend or "bricks"
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.clip_sim = clip_sim
         self.capacity = int(cfg.voxel_capacity or 8192)
@@ -68,7 +78,24 @@ class GroundingPipeline:
         self.use_color = bool(cfg.use_color)
         if brick_capacities:
             cfg.brick_capacities = list(brick_capacities)
+        self.last_dropped = 0  # voxels truncated by the last featurize()
 
+        if self.engine == "pillars":
+            from .sparse.unet_pillars import build_student_pillars
+
+            self.model = build_student_pillars(cfg)
+            self._pillar_caps = (list(pillar_site_capacities)
+                                 if pillar_site_capacities else None)
+            self._pillar_z0 = pillar_z0
+
+            @jax.jit
+            def _pforward(variables, topo, feats):
+                return self.model.apply(variables, topo, feats, train=False)
+
+            self._pforward = _pforward
+            return
+
+        self.model = build_student_for(cfg)
         from .distill.engine import build_topology, topology_dropped
 
         @jax.jit
@@ -79,7 +106,6 @@ class GroundingPipeline:
             return out, topology_dropped(topo)
 
         self._forward = _forward
-        self.last_dropped = 0  # voxels truncated by the last featurize()
 
     @classmethod
     def from_checkpoint(cls, config_path: str, ckpt_dir: str,
@@ -132,6 +158,8 @@ class GroundingPipeline:
         (per-voxel features (cap, C), voxel validity (cap,), vox record
         with the inverse map back to input points)."""
         vox, in_feats = self._host_voxelize(xyz, rgb)
+        if self.engine == "pillars":
+            return self._featurize_pillars(vox, in_feats)
         out, dropped = self._forward(
             self.variables, jnp.asarray(vox.coords[None]),
             jnp.asarray(vox.mask[None]), jnp.asarray(in_feats[None]))
@@ -145,6 +173,35 @@ class GroundingPipeline:
                 "geometry; raise brick_capacities or grid_bits",
                 self.last_dropped)
         return out[0], vox.mask, vox
+
+    def _featurize_pillars(self, vox, in_feats):
+        """Pillar-engine forward: host topology at frozen static shapes
+        (one compile, replayed per scene — the serve pattern)."""
+        from .sparse.pillar_topology import build_pillar_topology
+
+        if self._pillar_caps is None or self._pillar_z0 is None:
+            probe = build_pillar_topology(vox.coords, vox.mask)
+            if self._pillar_z0 is None:
+                z0 = probe.levels[0].occ.shape[1]
+                self._pillar_z0 = 16 * int(np.ceil(z0 * 1.5 / 16))
+            if self._pillar_caps is None:
+                self._pillar_caps = [
+                    16 * int(np.ceil(lv.occ.shape[0] * 1.3 / 16))
+                    for lv in probe.levels]
+        topo = build_pillar_topology(vox.coords, vox.mask,
+                                     z0=self._pillar_z0,
+                                     site_capacities=self._pillar_caps)
+        out = self._pforward(self.variables, topo,
+                             jnp.asarray(in_feats))
+        self.last_dropped = int(topo.dropped)
+        if self.last_dropped:
+            import logging
+
+            logging.getLogger("dropclip").warning(
+                "GroundingPipeline[pillars]: %d pillar sites dropped "
+                "(site capacity overflow) — raise pillar_site_capacities",
+                self.last_dropped)
+        return out, vox.mask, vox
 
     def _host_voxelize(self, xyz: np.ndarray,
                        rgb: Optional[np.ndarray]):
@@ -178,6 +235,9 @@ class GroundingPipeline:
         a list of per-scene arrays when ``per_point`` (input clouds may
         differ in length), else arrays of shape (B, Q, cap).
         """
+        assert self.engine != "pillars", (
+            "ground_batch runs the batched brick/gather program; the "
+            "pillar engine serves per-scene — call ground() per cloud")
         b_real = len(clouds)
         rgbs = rgbs if rgbs is not None else [None] * b_real
         voxes, feats_in = zip(*[self._host_voxelize(x, r)

@@ -218,3 +218,23 @@ class MinkUNetPillars(nn.Module):
 
         feats = PConv1x1(self.out_channels, name="final")(out, lvls[0].occ)
         return gather_points_pillar(feats, topo)
+
+
+def build_student_pillars(cfg) -> MinkUNetPillars:
+    """Pillar-backend DisNet factory (same archs as unet.build_student).
+
+    Inference engine: no dropout/cls-head (eval-path options the serve
+    pipeline never uses; the brick engine owns training)."""
+    arch = cfg.arch_3d or "MinkUNet14D"
+    if arch not in UNET_ARCHS:
+        raise ValueError(f"architecture {arch} not supported")
+    block, layers, planes = UNET_ARCHS[arch]
+    if cfg.planes is not None:
+        planes = tuple(int(p) for p in cfg.planes)
+    if cfg.layers is not None:
+        layers = tuple(int(l) for l in cfg.layers)
+    assert not cfg.use_cls_head, "pillar engine: inference features only"
+    return MinkUNetPillars(
+        out_channels=int(cfg.feat_dim or 768),
+        block=block, layers=layers, planes=planes,
+        init_dim=int(cfg.init_dim or 32))

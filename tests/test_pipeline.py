@@ -88,3 +88,41 @@ def test_ground_batch_voxel_level(rng, pipe):
     masks, sims = pipe.ground_batch(clouds, None, ["thing"],
                                     per_point=False)
     assert masks.shape == (2, 1, 128) and sims.shape == (2, 1, 128)
+
+
+def test_pillar_engine_matches_bricks_pipeline(rng, pipe):
+    """engine="pillars" (the volumetric inference engine, PERF.md
+    "Pillar ENGINE") serves the SAME checkpoint through the pillar
+    student: per-point grounding masks must match the brick pipeline,
+    and a second scene must reuse the frozen static shapes."""
+    # own pipelines on a CLONED cfg: the brick arm needs generous brick
+    # capacities (scattered test clouds put ~1 voxel per brick and the
+    # default M//8 heuristic drops some — 17 measured — which would make
+    # the engines see DIFFERENT voxel sets), and GroundingPipeline
+    # writes brick_capacities into cfg, so the shared fixture's cfg must
+    # not be touched
+    cfg = CfgNode(dict(pipe.cfg))
+    pipe_b = GroundingPipeline(cfg, pipe.variables["params"],
+                               pipe.variables["batch_stats"],
+                               pipe.clip_sim,
+                               brick_capacities=[128, 64, 64, 64, 64])
+    pipe_p = GroundingPipeline(cfg, pipe.variables["params"],
+                               pipe.variables["batch_stats"],
+                               pipe.clip_sim, engine="pillars")
+    queries = ["the red mug", "a bowl"]
+    for n in (300, 240):  # second cloud exercises the frozen-shape replay
+        xyz = (rng.randn(n, 3).astype(np.float32)
+               * np.array([0.25, 0.25, 0.03], np.float32))
+        rgb = rng.rand(n, 3)
+        m_ref, s_ref = pipe_b.ground(xyz, rgb, queries)
+        assert pipe_b.last_dropped == 0, pipe_b.last_dropped
+        m_p, s_p = pipe_p.ground(xyz, rgb, queries)
+        assert pipe_p.last_dropped == 0
+        assert m_p.shape == m_ref.shape == (2, n)
+        # engines agree to float noise; similarity thresholding may flip
+        # points whose sim sits ON the threshold — compare sims tightly
+        # and masks up to that boundary set
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_ref),
+                                   atol=1e-3, rtol=1e-3)
+        assert (m_p != m_ref).mean() < 0.02
+    assert pipe_p._pillar_caps is not None and pipe_p._pillar_z0 is not None

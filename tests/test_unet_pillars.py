@@ -23,17 +23,23 @@ ARCH = dict(out_channels=16, block="basic", layers=(1,) * 8,
             planes=(4, 4, 8, 8, 8, 8, 4, 4), init_dim=4)
 
 
-def _scene(rng, m=512, n_occ=400):
+def _scene(rng, m=512, n_occ=400, z_shift=0):
     coords, mask = make_volumetric_coords(rng, 1, m, n_occ=n_occ, ext=8,
                                           zext=16)
+    # z_shift moves the scene off the z=0 origin: the pyramid must stay
+    # aligned to ABSOLUTE floor(c/2^l) lattices (regression: an
+    # arbitrary per-scene z normalization diverged ~6% vs bricks on
+    # odd/negative zmin)
+    coords = coords + np.array([0, 0, z_shift], np.int32) * mask[..., None]
     feats = (rng.randn(1, m, 6).astype(np.float32)
              * mask[..., None]).astype(np.float32)
     return jnp.asarray(coords), jnp.asarray(mask), jnp.asarray(feats)
 
 
-@pytest.mark.parametrize("train", [False, True])
-def test_pillar_unet_matches_bricks(rng, train):
-    coords, mask, feats = _scene(rng)
+@pytest.mark.parametrize("train,z_shift", [(False, 0), (True, 0),
+                                           (False, -7)])
+def test_pillar_unet_matches_bricks(rng, train, z_shift):
+    coords, mask, feats = _scene(rng, z_shift=z_shift)
     btopo = build_brick_topology(coords, mask, brick_shape=(4, 4, 2))
     net_b = MinkUNetBricks(**ARCH)
     variables = jax.jit(
