@@ -117,3 +117,49 @@ def test_pillar_topology_levels(rng):
         parent = np.asarray(topo.parent[lvl])
         assert (parent < len(xy_c)).all()
         np.testing.assert_array_equal(xy_f // 2, xy_c[parent])
+
+
+def test_pillar_unet_bottleneck_matches_bricks(rng):
+    """Bottleneck twin (tiny_bn): the PBottleneck block (1x1 -> k3 ->
+    1x1 expansion-4) must match the brick engine from shared variables."""
+    coords, mask, feats = _scene(rng, m=256, n_occ=200)
+    arch = dict(out_channels=16, block="bottleneck", layers=(1,) * 8,
+                planes=(4, 4, 8, 8, 8, 8, 4, 4), init_dim=4)
+    btopo = build_brick_topology(coords, mask, brick_shape=(4, 4, 2))
+    net_b = MinkUNetBricks(**arch)
+    variables = jax.jit(
+        lambda t, f: net_b.init(jax.random.PRNGKey(0), t, f,
+                                train=False))(btopo, feats)
+    ptopo = build_pillar_topology(np.asarray(coords[0]),
+                                  np.asarray(mask[0]))
+    out_b = np.asarray(net_b.apply(variables, btopo, feats,
+                                   train=False)[0], np.float32)
+    out_p = np.asarray(MinkUNetPillars(**arch).apply(
+        variables, ptopo, feats[0], train=False), np.float32)
+    den = max(np.abs(out_b).max(), 1.0)
+    assert np.abs(out_b - out_p).max() / den < 5e-3
+
+
+def test_pconv_pallas_branch_matches_xla(rng):
+    """PConv(use_pallas=True) takes the fused Pallas kernel when the
+    level qualifies (Z % 8 == 0, C/Cout % 128): same numbers as the XLA
+    formulation (interpret mode on CPU)."""
+    from dropclip_tpu.sparse.pallas_pillar import dense_pillar_scene
+    from dropclip_tpu.sparse.pillar_topology import PillarLevel
+    from dropclip_tpu.sparse.unet_pillars import PConv
+
+    z, c = 8, 128
+    feats_np, nbr_np, occ_np = dense_pillar_scene(rng, 4, 4, z, c, 0.5)
+    level = PillarLevel(xy=jnp.zeros((16, 2), jnp.int32),
+                        occ=jnp.asarray(occ_np),
+                        nbr9=jnp.asarray(nbr_np),
+                        mask=jnp.ones((16,), bool))
+    x = jnp.asarray(feats_np).astype(jnp.bfloat16)
+    v = PConv(features=c, use_pallas=False).init(jax.random.PRNGKey(0),
+                                                 x, level)
+    ref = np.asarray(PConv(features=c, use_pallas=False).apply(
+        v, x, level), np.float32)
+    got = np.asarray(PConv(features=c, use_pallas=True).apply(
+        v, x, level), np.float32)
+    den = max(np.abs(ref).max(), 1.0)
+    assert np.abs(ref - got).max() / den < 5e-3
